@@ -1,0 +1,86 @@
+"""Transformer building blocks for CLIP, functional style.
+
+Numerics contract (parity-critical, see SURVEY.md §2.2):
+  - LayerNorm computes in float32 and casts back (reference
+    /root/reference/clip/model.py:153-159 — the fp16-safe LN).
+  - QuickGELU is ``x * sigmoid(1.702 x)`` — NOT exact GELU
+    (/root/reference/clip/model.py:162-164).
+  - Blocks are pre-LN residual: attn then 4x MLP
+    (/root/reference/clip/model.py:167-191).
+
+Params are plain pytrees (nested dicts of jnp arrays).  A transformer's
+blocks are *stacked* along a leading layer axis and executed with
+``lax.scan`` — one compiled block body regardless of depth, the idiomatic
+XLA formulation (vs. the reference's Python loop over modules).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rpo_tpu.ops.attention import multihead_attention
+
+
+def layer_norm(x: jax.Array, params: dict, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * params["scale"].astype(jnp.float32) + params["bias"].astype(
+        jnp.float32
+    )
+    return out.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp(x: jax.Array, params: dict) -> jax.Array:
+    """4x expansion MLP with QuickGELU."""
+    h = jnp.einsum(
+        "bld,dh->blh", x, params["fc_w"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + params["fc_b"].astype(x.dtype)
+    h = quick_gelu(h)
+    out = jnp.einsum(
+        "blh,hd->bld", h, params["proj_w"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + params["proj_b"].astype(x.dtype)
+    return out
+
+
+def residual_block(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    x = x + multihead_attention(layer_norm(x, params["ln_1"]), params["attn"], n_heads, bias)
+    x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
+    return x
+
+
+def transformer(
+    x: jax.Array,
+    stacked_blocks: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Run a stack of residual blocks via lax.scan over stacked params.
+
+    stacked_blocks: pytree whose leaves have a leading [n_layers] axis.
+    The attention ``bias`` is closed over (static per task), matching the
+    reference's runtime-mask threading (/root/reference/clip/model.py:202-207).
+    """
+    body = residual_block
+    if remat:
+        body = jax.checkpoint(body, static_argnums=(2,))
+
+    def step(carry, layer_params):
+        return body(carry, layer_params, n_heads, bias), None
+
+    out, _ = jax.lax.scan(step, x, stacked_blocks)
+    return out

@@ -1,0 +1,76 @@
+"""Multi-head attention with additive bias — the hot op of the framework.
+
+TPU-native design notes:
+  - Layout is (batch, seq, dim) throughout; head split/merge are reshapes
+    that XLA folds into the surrounding matmuls (no torch-style LND
+    permutes — cf. /root/reference/clip/model.py:235,351).
+  - QKV is one fused (D, 3D) matmul to keep the MXU busy with a single
+    large contraction instead of three small ones.
+  - Attention logits and softmax run in float32 regardless of the compute
+    dtype (parity with fp16 CLIP requires stable softmax; bf16 logits lose
+    too much).  The bias is additive, float32, broadcastable over
+    (batch, heads, q_len, kv_len) — this replaces the reference's
+    (bsz*heads, L, S) mask format (/root/reference/trainers/rpo.py:151).
+  - Sequence lengths here are tiny (77 text / 197+K vision) so a plain
+    XLA einsum attention is already compute-bound on the MXU; a fused
+    Pallas kernel is provided in ``rpo_tpu.ops.pallas_attention`` and
+    selected via ``use_pallas`` when shapes allow.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    q, k, v: (B, H, L, Dh).  bias: broadcastable to (B, H, Lq, Lk), float32
+    additive.  Returns (B, H, Lq, Dh) in v.dtype.
+    """
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits.astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def multihead_attention(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Self-attention over x: (B, L, D) with fused QKV projection.
+
+    params: {qkv_w: (D, 3D), qkv_b: (3D,), out_w: (D, D), out_b: (D,)}.
+    Weight layout is (in, out) so application is ``x @ w`` (torch stores
+    the transpose; the checkpoint converter handles it).
+    """
+    B, L, D = x.shape
+    head_dim = D // n_heads
+    qkv = jnp.einsum(
+        "bld,de->ble", x, params["qkv_w"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + params["qkv_b"].astype(x.dtype)
+    qkv = qkv.reshape(B, L, 3, n_heads, head_dim)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    out = dot_product_attention(q, k, v, bias)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    out = jnp.einsum(
+        "bld,de->ble", out, params["out_w"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + params["out_b"].astype(x.dtype)
+    return out
