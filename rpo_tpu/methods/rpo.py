@@ -1,0 +1,245 @@
+"""RPO: Read-only Prompt Optimization (ICCV 2023) — TPU-native core.
+
+Behavior contract: /root/reference/trainers/rpo.py:41-232.  The method
+learns K text-prompt vectors (K, d_t) and K visual-prompt vectors (K, d_v)
+injected into a frozen CLIP under *asymmetric read-only attention masks*:
+prompts read the frozen tokens; frozen tokens (and other prompts, and the
+prompt itself) never read the prompts.
+
+TPU-first reformulation (SURVEY.md §7):
+  - The reference's per-K Python loops (rpo.py:176-177, 186-189, 222-227)
+    become one vectorized scatter, one gather, and one einsum.
+  - The torch (n_cls*heads, 77, 77) mask becomes a (n_cls, 1, 77, 77)
+    additive bias; the vision mask (1, 1, S, S).  Both are static per task
+    and baked at jit time.
+  - Gradients flow only to the prompt pytree by construction:
+    ``jax.grad(loss)(prompts, frozen, batch)`` — no requires_grad
+    machinery (frozen backbone falls out of functional differentiation).
+  - Trainable prompts are kept in float32 (master copy) and cast to the
+    compute dtype inside the forward.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpo_tpu.models.clip import CLIPConfig
+from rpo_tpu.models.clip.layers import layer_norm
+from rpo_tpu.models.clip.model import (
+    text_transformer_run,
+    vision_embed,
+    vision_transformer_run,
+)
+from rpo_tpu.ops.attention import NEG_INF
+from rpo_tpu.tokenizer import tokenize
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# masks (host-side, static per task) — truth table at rpo.py:140-159
+# ---------------------------------------------------------------------------
+
+def build_text_mask(len_prompts: np.ndarray, context_length: int = 77) -> np.ndarray:
+    """(n_cls, 1, L, L) float32 additive bias.
+
+    Per class c with idx = #real tokens (incl. EOT):
+      col >= idx           -> masked (frozen tokens never see prompts/pads;
+                              a prompt sees neither itself nor other prompts)
+      col >  row (causal)  -> masked
+      otherwise            -> visible
+    Matches rpo.py:144-151 exactly (the column rule overwrites causal).
+    """
+    L = context_length
+    rows = np.arange(L)[:, None]
+    cols = np.arange(L)[None, :]
+    causal = cols > rows  # (L, L)
+    masks = []
+    for idx in np.asarray(len_prompts):
+        blocked = causal | (cols >= int(idx))
+        masks.append(np.where(blocked, NEG_INF, 0.0))
+    return np.stack(masks).astype(np.float32)[:, None]
+
+
+def build_visual_mask(seq_len: int, K: int) -> np.ndarray:
+    """(1, 1, S, S) float32: last K columns masked for every row
+    (rpo.py:153-159) — visual prompts are appended after CLS+patches and
+    are invisible to everything, including themselves."""
+    mask = np.zeros((seq_len, seq_len), dtype=np.float32)
+    mask[:, seq_len - K :] = NEG_INF
+    return mask[None, None]
+
+
+# ---------------------------------------------------------------------------
+# task construction (host-side)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RPOTask:
+    """Static per-(dataset, class-subset) state closed over at jit time."""
+
+    cfg: CLIPConfig
+    K: int
+    n_cls: int
+    text_tokens: np.ndarray  # (n_cls, 77) int32
+    len_prompts: np.ndarray  # (n_cls,) int32 — #real tokens incl. EOT
+    text_mask: np.ndarray  # (n_cls, 1, 77, 77) f32
+    visual_mask: np.ndarray  # (1, 1, S, S) f32
+
+
+def make_task(cfg: CLIPConfig, classnames, prompt_template: str, K: int) -> RPOTask:
+    """Tokenize per-class prompts and build masks (rpo.py:132-159).
+
+    prompt_template uses '_' as the classname slot, e.g. "a photo of a _."
+    (cfg.DATASET.PROMPT in every reference dataset yaml).
+    """
+    assert K >= 1, "K should be bigger than 0"
+    prompts = [prompt_template.replace("_", c) for c in classnames]
+    tokens = tokenize(prompts)
+    len_prompts = tokens.argmax(axis=-1).astype(np.int32) + 1
+    if int((len_prompts + K).max()) > cfg.context_length:
+        raise ValueError(
+            f"K={K} prompt tokens do not fit after the longest classname "
+            f"(max len {int(len_prompts.max())}, context {cfg.context_length})"
+        )
+    seq_len = cfg.vision_seq_len + K
+    return RPOTask(
+        cfg=cfg,
+        K=K,
+        n_cls=len(classnames),
+        text_tokens=tokens,
+        len_prompts=len_prompts,
+        text_mask=build_text_mask(len_prompts, cfg.context_length),
+        visual_mask=build_visual_mask(seq_len, K),
+    )
+
+
+# ---------------------------------------------------------------------------
+# prompt params
+# ---------------------------------------------------------------------------
+
+def init_prompts(key: jax.Array, clip_params: Params, cfg: CLIPConfig, K: int) -> Params:
+    """EOT/CLS embedding + 0.1 * L2-normalized Gaussian noise
+    (rpo.py:60-88).  Returned in float32 (training master copy)."""
+    kt, kv = jax.random.split(key)
+    eot_emb = clip_params["text"]["token_embedding"][49407].astype(jnp.float32)
+    tn = jax.random.normal(kt, (K, cfg.text_width), jnp.float32)
+    tn = tn / jnp.linalg.norm(tn, axis=-1, keepdims=True)
+    text_prompt = eot_emb[None, :] + 0.1 * tn
+
+    cls_emb = clip_params["visual"]["class_embedding"].astype(jnp.float32)
+    vn = jax.random.normal(kv, (K, cfg.vision_width), jnp.float32)
+    vn = vn / jnp.linalg.norm(vn, axis=-1, keepdims=True)
+    img_prompt = cls_emb[None, :] + 0.1 * vn
+    return {"text_prompt": text_prompt, "img_prompt": img_prompt}
+
+
+def precompute_text_x(clip_params: Params, task: RPOTask) -> jax.Array:
+    """Frozen embedded class prompts + positional (rpo.py:136): the text
+    tower input before prompt scatter.  Computed once per task."""
+    t = clip_params["text"]
+    emb = t["token_embedding"][jnp.asarray(task.text_tokens)]
+    return emb + t["positional_embedding"].astype(emb.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def encode_text_with_prompts(
+    prompts: Params, clip_params: Params, task: RPOTask, text_x: jax.Array
+) -> jax.Array:
+    """Masked text tower -> prompt-position features (n_cls, K, embed)."""
+    cfg = task.cfg
+    t = clip_params["text"]
+    dtype = text_x.dtype
+    n_cls, K = task.n_cls, task.K
+
+    len_prompts = jnp.asarray(task.len_prompts)
+    cls_idx = jnp.arange(n_cls)[:, None]  # (n_cls, 1)
+    pos_idx = len_prompts[:, None] + jnp.arange(K)[None, :]  # (n_cls, K)
+
+    # Vectorized scatter of the K learnable prompts into each class row
+    # (replaces the in-place loop at rpo.py:176-177).
+    tp = prompts["text_prompt"].astype(dtype)  # (K, d_t)
+    x = text_x.at[cls_idx, pos_idx].set(jnp.broadcast_to(tp[None], (n_cls, K, cfg.text_width)))
+
+    bias = jnp.asarray(task.text_mask)
+    x = text_transformer_run(t, cfg, x, bias)
+    x = layer_norm(x, t["ln_final"])
+
+    # Gather the K prompt outputs per class (replaces rpo.py:186-189).
+    feats = x[cls_idx, pos_idx]  # (n_cls, K, d_t)
+    return jnp.einsum(
+        "ckd,de->cke", feats, t["text_projection"], preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def encode_image_with_prompts(
+    prompts: Params, clip_params: Params, task: RPOTask, images: jax.Array
+) -> jax.Array:
+    """Masked vision tower -> appended-prompt features (B, K, embed)."""
+    cfg = task.cfg
+    v = clip_params["visual"]
+    K = task.K
+
+    x = vision_embed(v, cfg, images)  # (B, 197, d_v) — cls+patches+pos
+    dtype = x.dtype
+    ip = jnp.broadcast_to(
+        prompts["img_prompt"].astype(dtype)[None], (x.shape[0], K, cfg.vision_width)
+    )
+    x = jnp.concatenate([x, ip], axis=1)  # append prompts (rpo.py:204)
+    bias = jnp.asarray(task.visual_mask)
+    x = vision_transformer_run(v, cfg, x, bias)
+    feats = layer_norm(x[:, -K:, :], v["ln_post"])  # (B, K, d_v)
+    return jnp.einsum(
+        "bkd,de->bke", feats, v["proj"], preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def rpo_logits(
+    prompts: Params,
+    clip_params: Params,
+    task: RPOTask,
+    images: jax.Array,
+    text_x: Optional[jax.Array] = None,
+    text_f: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(B, n_cls) classification logits: mean over K prompt pairs of the
+    scaled cosine similarity (rpo.py:215-227).
+
+    Pass a precomputed ``text_f`` for evaluation (text tower runs once per
+    task, not once per batch — the TPU eval fast path).
+    """
+    if text_f is None:
+        if text_x is None:
+            text_x = precompute_text_x(clip_params, task)
+        text_f = encode_text_with_prompts(prompts, clip_params, task, text_x)
+    img_f = encode_image_with_prompts(prompts, clip_params, task, images)
+
+    text_f = text_f.astype(jnp.float32)
+    img_f = img_f.astype(jnp.float32)
+    text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
+    img_f = img_f / jnp.linalg.norm(img_f, axis=-1, keepdims=True)
+    scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+    # mean over K of per-pair cosine logits == einsum / K
+    return scale * jnp.einsum("bke,cke->bc", img_f, text_f) / task.K
+
+
+def rpo_loss(
+    prompts: Params,
+    clip_params: Params,
+    task: RPOTask,
+    images: jax.Array,
+    labels: jax.Array,
+    text_x: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-entropy (rpo.py:229-230); returns (loss, logits)."""
+    logits = rpo_logits(prompts, clip_params, task, images, text_x=text_x)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    loss = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
+    return loss, logits
