@@ -1,0 +1,98 @@
+"""Batch pipeline: host decode/augment pool -> padded device batches.
+
+Replaces Dassl's multiprocess torch DataLoader (SURVEY.md §2.9) with a
+thread-pool pipeline (PIL releases the GIL during decode/resize) plus a
+one-batch prefetch queue so host preprocessing overlaps device compute.
+
+Batches are dicts {"img": (B, H, W, 3) uint8, "label": (B,) int32,
+"mask": (B,) float32} where B is ALWAYS the configured batch size: the
+final partial batch is zero-padded and flagged via ``mask`` so every
+train/eval step reuses ONE compiled XLA program (no recompile on the
+remainder batch — the TPU answer to dynamic batch shapes).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .datum import Datum
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        items: Sequence[Datum],
+        transform: Callable[[str, bool], np.ndarray],
+        batch_size: int,
+        train: bool,
+        shuffle: bool,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.items = list(items)
+        self.transform = transform
+        self.batch_size = int(batch_size)
+        self.train = train
+        self.shuffle = shuffle
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return (len(self.items) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_items(self) -> int:
+        return len(self.items)
+
+    def _make_batch(self, batch_items: List[Datum]) -> Dict[str, np.ndarray]:
+        imgs = list(
+            self.pool.map(lambda it: self.transform(it.impath, self.train), batch_items)
+        )
+        B = self.batch_size
+        n = len(batch_items)
+        img0 = imgs[0]
+        out_img = np.zeros((B,) + img0.shape, dtype=img0.dtype)
+        out_lab = np.zeros((B,), dtype=np.int32)
+        out_mask = np.zeros((B,), dtype=np.float32)
+        for i, (im, it) in enumerate(zip(imgs, batch_items)):
+            out_img[i] = im
+            out_lab[i] = it.label
+            out_mask[i] = 1.0
+        return {"img": out_img, "label": out_lab, "mask": out_mask, "n": n}
+
+    def _order(self) -> List[int]:
+        order = list(range(len(self.items)))
+        if self.shuffle:
+            random.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        chunks = [
+            [self.items[j] for j in order[i : i + self.batch_size]]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if not chunks:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    q.put(self._make_batch(chunk))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is stop:
+                break
+            yield batch

@@ -1,0 +1,69 @@
+"""DataManager: dataset construction + train/test loaders.
+
+Equivalent role to Dassl's DataManager inside TrainerX (SURVEY.md §2.9):
+resolves cfg.DATASET.NAME in the registry, builds transform pipelines
+from cfg.INPUT, and exposes loaders + class metadata to trainers.
+"""
+from __future__ import annotations
+
+from rpo_tpu.engine.registry import DATASET_REGISTRY
+
+from .loader import BatchLoader
+from .transforms import TransformPipeline
+
+
+class DataManager:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        dataset_cls = DATASET_REGISTRY.get(cfg.DATASET.NAME)
+        self.dataset = dataset_cls(cfg)
+        transform = TransformPipeline(cfg.INPUT)
+        self.transform = transform
+
+        num_workers = int(cfg.DATALOADER.NUM_WORKERS)
+        self.train_loader_x = BatchLoader(
+            self.dataset.train_x,
+            transform,
+            batch_size=int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE),
+            train=True,
+            shuffle=True,
+            num_workers=num_workers,
+        )
+        self.val_loader = (
+            BatchLoader(
+                self.dataset.val,
+                transform,
+                batch_size=int(cfg.DATALOADER.TEST.BATCH_SIZE),
+                train=False,
+                shuffle=False,
+                num_workers=num_workers,
+            )
+            if self.dataset.val
+            else None
+        )
+        self.test_loader = BatchLoader(
+            self.dataset.test,
+            transform,
+            batch_size=int(cfg.DATALOADER.TEST.BATCH_SIZE),
+            train=False,
+            shuffle=False,
+            num_workers=num_workers,
+        )
+
+    @property
+    def num_classes(self) -> int:
+        return self.dataset.num_classes
+
+    @property
+    def classnames(self):
+        return self.dataset.classnames
+
+    def show_dataset_summary(self) -> None:
+        cfg = self.cfg
+        print("***** Dataset statistics *****")
+        print(f"  Dataset: {cfg.DATASET.NAME}")
+        print(f"  # classes: {self.num_classes:,}")
+        print(f"  # train_x: {len(self.dataset.train_x):,}")
+        if self.dataset.val:
+            print(f"  # val: {len(self.dataset.val):,}")
+        print(f"  # test: {len(self.dataset.test):,}")

@@ -1,0 +1,158 @@
+"""Host-side image transforms (PIL decode/resize/crop) + device-side
+normalize.
+
+Split of responsibilities (SURVEY.md §7 step 6):
+  - Host: decode, resize, crop, flip — per-image, PIL, parallelized by
+    the loader.  Eval-path resize/center-crop matches torchvision's PIL
+    backend exactly (the accuracy-critical path); train-path randomness
+    is distributionally equivalent to RandomResizedCrop/RandomFlip.
+  - Device: uint8 -> float, mean/std normalize — executed inside the
+    jitted step where XLA fuses it into the patch-embed matmul (the
+    "fused preprocessing" of the north star; see also ops/preprocess.py).
+
+Transform functions return HWC uint8 arrays; normalization constants ride
+in the batch pipeline config.
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import Iterable, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+
+    _BICUBIC = Image.BICUBIC
+    _BILINEAR = Image.BILINEAR
+except Exception:  # pragma: no cover
+    Image = None
+    _BICUBIC = _BILINEAR = None
+
+
+def _interp(name: str):
+    return {"bicubic": _BICUBIC, "bilinear": _BILINEAR}.get(name, _BICUBIC)
+
+
+def load_image(impath: str) -> "Image.Image":
+    """Decode an image path (or synthesize one for synthetic:// URIs)."""
+    if impath.startswith("synthetic://"):
+        return synth_image(impath)
+    img = Image.open(impath).convert("RGB")
+    return img
+
+
+def synth_image(uri: str, size: int = 224) -> "Image.Image":
+    """Deterministic pseudo-image for tests/benchmarks: synthetic://<label>/<idx>."""
+    seed = abs(hash(uri)) % (2 ** 31)
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(size, size, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+def resize_shorter(img, size: int, interpolation: str = "bicubic"):
+    """torchvision Resize(int) semantics: shorter side -> size, keep aspect."""
+    w, h = img.size
+    if (w <= h and w == size) or (h <= w and h == size):
+        return img
+    if w < h:
+        ow, oh = size, int(size * h / w)
+    else:
+        ow, oh = int(size * w / h), size
+    return img.resize((ow, oh), _interp(interpolation))
+
+
+def center_crop(img, size: int):
+    w, h = img.size
+    if w < size or h < size:  # pad like torchvision when smaller
+        new = Image.new("RGB", (max(w, size), max(h, size)))
+        new.paste(img, ((max(w, size) - w) // 2, (max(h, size) - h) // 2))
+        img = new
+        w, h = img.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+def random_resized_crop(
+    img,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    interpolation: str = "bicubic",
+):
+    """torchvision RandomResizedCrop sampling procedure (host random RNG)."""
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * random.uniform(*scale)
+        aspect = math.exp(random.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = random.randint(0, w - cw)
+            top = random.randint(0, h - ch)
+            return img.resize(
+                (size, size), _interp(interpolation), box=(left, top, left + cw, top + ch)
+            )
+    # fallback: center crop to in-range aspect
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch, cw = h, int(round(h * ratio[1]))
+    else:
+        cw, ch = w, h
+    left, top = (w - cw) // 2, (h - ch) // 2
+    return img.resize(
+        (size, size), _interp(interpolation), box=(left, top, left + cw, top + ch)
+    )
+
+
+class TransformPipeline:
+    """cfg.INPUT -> callable(impath, train: bool) -> HWC uint8 array.
+
+    Reference train transforms: [random_resized_crop, random_flip,
+    normalize]; eval: resize + center-crop + normalize
+    (configs/trainers/RPO/main.yaml:10-14 and Dassl build_transform).
+    Normalize is deferred to the device (see module docstring).
+    """
+
+    def __init__(self, cfg_input):
+        self.size = int(cfg_input.SIZE[0])
+        self.interpolation = str(cfg_input.INTERPOLATION)
+        self.scale = tuple(cfg_input.RRCROP_SCALE)
+        transforms = tuple(cfg_input.TRANSFORMS)
+        self.use_rrc = "random_resized_crop" in transforms
+        self.use_flip = "random_flip" in transforms
+        self.mean = np.asarray(cfg_input.PIXEL_MEAN, np.float32)
+        self.std = np.asarray(cfg_input.PIXEL_STD, np.float32)
+
+    def __call__(self, impath: str, train: bool) -> np.ndarray:
+        img = load_image(impath)
+        if train and self.use_rrc:
+            img = random_resized_crop(
+                img, self.size, scale=self.scale, interpolation=self.interpolation
+            )
+        else:
+            img = resize_shorter(img, self.size, self.interpolation)
+            img = center_crop(img, self.size)
+        if train and self.use_flip and random.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(img, dtype=np.uint8)
+
+
+def device_normalize_fn(mean: Iterable[float], std: Iterable[float]):
+    """Returns a jit-friendly uint8 -> normalized float fn (fuses into the
+    first matmul under XLA)."""
+    import jax.numpy as jnp
+
+    mean_a = jnp.asarray(np.asarray(mean, np.float32) * 255.0)
+    std_a = jnp.asarray(np.asarray(std, np.float32) * 255.0)
+
+    def normalize(images_u8):
+        return (images_u8.astype(jnp.float32) - mean_a) / std_a
+
+    return normalize

@@ -1,0 +1,249 @@
+"""Layered config system: yacs-compatible semantics, zero dependencies.
+
+Reproduces the exact merge pipeline of the reference
+(/root/reference/train.py:122-142): defaults -> dataset yaml -> trainer
+yaml -> CLI flags -> dotted KV overrides -> freeze.  Values in YAML that
+are strings but parse as Python literals (e.g. ``SIZE: (224, 224)``) are
+literal-eval'd when the default is non-string, matching yacs'
+``_decode_cfg_value``.
+
+Default tree mirrors the Dassl keys actually consumed by the reference
+(SURVEY.md §2.9) plus the ``extend_cfg`` additions
+(/root/reference/train.py:82-119).
+"""
+from __future__ import annotations
+
+import ast
+import copy
+from typing import Any, Dict, List
+
+import yaml
+
+
+class CfgNode(dict):
+    """Attribute-accessible dict with freeze semantics."""
+
+    IMMUTABLE = "__immutable__"
+
+    def __init__(self, init: Dict | None = None):
+        super().__init__()
+        self.__dict__[CfgNode.IMMUTABLE] = False
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    # -- attribute protocol -------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name in self:
+            return self[name]
+        raise AttributeError(f"Non-existent config key: {name}")
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if self.__dict__.get(CfgNode.IMMUTABLE, False):
+            raise AttributeError(f"Attempted to set {name} on a frozen CfgNode")
+        self[name] = value
+
+    # -- freeze -------------------------------------------------------------
+    def freeze(self) -> None:
+        self._set_immutable(True)
+
+    def defrost(self) -> None:
+        self._set_immutable(False)
+
+    def is_frozen(self) -> bool:
+        return self.__dict__[CfgNode.IMMUTABLE]
+
+    def _set_immutable(self, value: bool) -> None:
+        self.__dict__[CfgNode.IMMUTABLE] = value
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v._set_immutable(value)
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    # -- merging ------------------------------------------------------------
+    def merge_from_file(self, path: str) -> None:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        self._merge_dict(loaded, path)
+
+    def merge_from_other_cfg(self, other: "CfgNode") -> None:
+        self._merge_dict(other, "<cfg>")
+
+    def merge_from_list(self, kv_list: List[str]) -> None:
+        """Dotted KEY VALUE pairs, e.g. ["DATASET.NUM_SHOTS", "16"]."""
+        if not kv_list:
+            return
+        assert len(kv_list) % 2 == 0, f"Override list has odd length: {kv_list}"
+        for key, value in zip(kv_list[0::2], kv_list[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Non-existent config key: {key}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"Non-existent config key: {key}")
+            node[leaf] = _coerce(_decode(value), node[leaf], key)
+
+    def _merge_dict(self, d: Dict, origin: str) -> None:
+        if self.is_frozen():
+            raise AttributeError("Attempted to merge into a frozen CfgNode")
+        for k, v in d.items():
+            if k not in self:
+                # yacs raises on unknown keys; keep that contract to catch typos
+                raise KeyError(f"Non-existent config key: {k} (from {origin})")
+            existing = self[k]
+            if isinstance(v, dict) and isinstance(existing, CfgNode):
+                existing._merge_dict(v, origin)
+            else:
+                self[k] = _coerce(_decode(v), existing, k)
+
+    # -- printing -----------------------------------------------------------
+    def __str__(self) -> str:
+        lines: List[str] = []
+        for k in sorted(self.keys()):
+            v = self[k]
+            if isinstance(v, CfgNode):
+                lines.append(f"{k}:")
+                lines.extend("  " + ln for ln in str(v).split("\n"))
+            else:
+                lines.append(f"{k}: {v}")
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:
+        return f"CfgNode({super().__repr__()})"
+
+
+def _decode(value: Any) -> Any:
+    """Strings that parse as Python literals become literals (yacs rule)."""
+    if not isinstance(value, str):
+        return value
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def _coerce(new: Any, old: Any, key: str) -> Any:
+    if old is None or new is None:
+        return new
+    if isinstance(old, tuple) and isinstance(new, list):
+        return tuple(new)
+    if isinstance(old, list) and isinstance(new, tuple):
+        return list(new)
+    if type(new) == type(old):
+        return new
+    if isinstance(old, float) and isinstance(new, int):
+        return float(new)
+    if isinstance(old, str):
+        return str(new)
+    # int default, float/str override etc.: accept when types are compatible
+    if isinstance(old, bool) != isinstance(new, bool) and {type(old), type(new)} <= {
+        bool,
+        int,
+    }:
+        return type(old)(new)
+    if isinstance(old, (int, float)) and isinstance(new, (int, float)):
+        return new
+    raise ValueError(
+        f"Type mismatch for key {key}: cannot replace {type(old).__name__} "
+        f"({old!r}) with {type(new).__name__} ({new!r})"
+    )
+
+
+def get_cfg_default() -> CfgNode:
+    """Default config tree: the Dassl surface the reference consumes
+    (SURVEY.md §2.9) + extend_cfg extras (train.py:82-119)."""
+    cfg = CfgNode(
+        {
+            "VERSION": 1,
+            "OUTPUT_DIR": "./output",
+            "RESUME": "",
+            "SEED": -1,
+            "USE_CUDA": True,  # kept for CLI compat; means "use accelerator"
+            "VERBOSE": True,
+            "DATASET": {
+                "ROOT": "",
+                "NAME": "",
+                "SOURCE_DOMAINS": (),
+                "TARGET_DOMAINS": (),
+                "NUM_SHOTS": -1,
+                "VAL_PERCENT": 0.1,
+                "SUBSAMPLE_CLASSES": "all",  # all, base or new
+                "PROMPT": "a photo of a _.",
+            },
+            "DATALOADER": {
+                "NUM_WORKERS": 4,
+                "K_TRANSFORMS": 1,
+                "RETURN_IMG0": False,
+                "TRAIN_X": {
+                    "SAMPLER": "RandomSampler",
+                    "BATCH_SIZE": 32,
+                    "N_DOMAIN": 0,
+                    "N_INS": 16,
+                },
+                "TEST": {"SAMPLER": "SequentialSampler", "BATCH_SIZE": 32},
+            },
+            "INPUT": {
+                "SIZE": (224, 224),
+                "INTERPOLATION": "bilinear",
+                "TRANSFORMS": (),
+                "NO_TRANSFORM": False,
+                "PIXEL_MEAN": [0.485, 0.456, 0.406],
+                "PIXEL_STD": [0.229, 0.224, 0.225],
+                "CROP_PADDING": 4,
+                "RRCROP_SCALE": (0.08, 1.0),
+            },
+            "MODEL": {
+                "INIT_WEIGHTS": "",
+                "BACKBONE": {"NAME": "", "PRETRAINED": True},
+                "HEAD": {"NAME": ""},
+            },
+            "OPTIM": {
+                "NAME": "sgd",
+                "LR": 0.0003,
+                "WEIGHT_DECAY": 5e-4,
+                "MOMENTUM": 0.9,
+                "SGD_DAMPNING": 0.0,
+                "SGD_NESTEROV": False,
+                "ADAM_BETA1": 0.9,
+                "ADAM_BETA2": 0.999,
+                "MAX_EPOCH": 10,
+                "LR_SCHEDULER": "single_step",
+                "STEPSIZE": (-1,),
+                "GAMMA": 0.1,
+                "WARMUP_EPOCH": -1,
+                "WARMUP_TYPE": "linear",
+                "WARMUP_CONS_LR": 1e-5,
+                "WARMUP_MIN_LR": 1e-5,
+                "WARMUP_RECOUNT": True,
+            },
+            "TRAIN": {"CHECKPOINT_FREQ": 0, "PRINT_FREQ": 10, "COUNT_ITER": "train_x"},
+            "TEST": {
+                "EVALUATOR": "Classification",
+                "PER_CLASS_RESULT": False,
+                "COMPUTE_CMAT": False,
+                "NO_TEST": False,
+                "SPLIT": "test",
+                "FINAL_MODEL": "last_step",
+            },
+            "TRAINER": {
+                "NAME": "",
+                # extend_cfg (train.py:95-119)
+                "RPO": {"K": 1, "CTX_INIT": "", "PREC": "fp16"},
+                "COCOOP": {"N_CTX": 4, "CTX_INIT": "a photo of a", "PREC": "fp16"},
+                "COOP": {
+                    "N_CTX": 4,
+                    "CSC": False,
+                    "CLASS_TOKEN_POSITION": "",
+                    "PREC": "fp16",
+                    "CTX_INIT": "",
+                },
+                "LP": {"PREC": "fp16", "PROMPT": "A photo of a {cls_name}"},
+            },
+        }
+    )
+    return cfg

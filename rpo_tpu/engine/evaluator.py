@@ -1,0 +1,91 @@
+"""Classification evaluator with the Dassl log-format contract.
+
+The printed block is a public API: ``parse_test_res.py`` regex-scrapes
+``* accuracy: X%`` lines after an ``=> result`` marker
+(/root/reference/parse_test_res.py:127-130,170-172).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ClassificationEvaluator:
+    def __init__(self, cfg, classnames: Optional[List[str]] = None):
+        self.cfg = cfg
+        self.classnames = classnames
+        self.per_class = bool(cfg.TEST.PER_CLASS_RESULT) if cfg is not None else False
+        self.reset()
+
+    def reset(self) -> None:
+        self._correct = 0
+        self._total = 0
+        self._y_true: List[int] = []
+        self._y_pred: List[int] = []
+        self._per_class_corr: Dict[int, int] = defaultdict(int)
+        self._per_class_total: Dict[int, int] = defaultdict(int)
+
+    def process(self, logits: np.ndarray, labels: np.ndarray) -> None:
+        """logits: (B, n_cls); labels: (B,) int."""
+        pred = np.asarray(logits).argmax(axis=-1)
+        labels = np.asarray(labels)
+        matches = (pred == labels).astype(np.int64)
+        self._correct += int(matches.sum())
+        self._total += int(labels.shape[0])
+        self._y_true.extend(int(x) for x in labels)
+        self._y_pred.extend(int(x) for x in pred)
+        for lab, m in zip(labels, matches):
+            self._per_class_total[int(lab)] += 1
+            self._per_class_corr[int(lab)] += int(m)
+
+    def _macro_f1(self) -> float:
+        y_true = np.asarray(self._y_true)
+        y_pred = np.asarray(self._y_pred)
+        classes = np.unique(np.concatenate([y_true, y_pred]))
+        f1s = []
+        for c in classes:
+            tp = int(((y_pred == c) & (y_true == c)).sum())
+            fp = int(((y_pred == c) & (y_true != c)).sum())
+            fn = int(((y_pred != c) & (y_true == c)).sum())
+            denom = 2 * tp + fp + fn
+            f1s.append(2 * tp / denom if denom else 0.0)
+        return 100.0 * float(np.mean(f1s)) if f1s else 0.0
+
+    def evaluate(self) -> Dict[str, float]:
+        acc = 100.0 * self._correct / max(1, self._total)
+        err = 100.0 - acc
+        macro_f1 = self._macro_f1()
+        results = {
+            "accuracy": acc,
+            "error_rate": err,
+            "macro_f1": macro_f1,
+            "total": self._total,
+            "correct": self._correct,
+        }
+        print("=> result")
+        print(f"* total: {self._total:,}")
+        print(f"* correct: {self._correct:,}")
+        print(f"* accuracy: {acc:.1f}%")
+        print(f"* error: {err:.1f}%")
+        print(f"* macro_f1: {macro_f1:.1f}%")
+        if self.per_class and self.classnames is not None:
+            print("=> per-class result")
+            accs = []
+            for lab in sorted(self._per_class_total):
+                total = self._per_class_total[lab]
+                correct = self._per_class_corr[lab]
+                pc_acc = 100.0 * correct / max(1, total)
+                accs.append(pc_acc)
+                name = (
+                    self.classnames[lab] if lab < len(self.classnames) else str(lab)
+                )
+                print(
+                    f"* class: {lab} ({name})\t"
+                    f"total: {total:,}\t"
+                    f"correct: {correct:,}\t"
+                    f"acc: {pc_acc:.1f}%"
+                )
+            print(f"* average: {np.mean(accs):.1f}%")
+        return results

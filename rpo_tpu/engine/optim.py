@@ -1,0 +1,82 @@
+"""Optimizer + LR schedule with Dassl-equivalent semantics.
+
+The reference uses torch SGD (momentum 0.9, weight decay 5e-4, Dassl
+defaults) stepped per batch, with a *per-epoch* cosine schedule and a
+1-epoch constant warmup (configs/trainers/RPO/main.yaml:16-23; scheduler
+advanced by update_lr() at the last batch of each epoch, rpo.py:313-314).
+
+TPU-native: the learning rate for the epoch is computed host-side and
+passed into the jitted train step as a scalar argument — one jit cache
+entry regardless of schedule, no torch-style scheduler objects.
+
+SGD update matches torch exactly (decoupled schedules aside):
+    g = grad + wd * p
+    buf = momentum * buf + g          (dampening 0)
+    p = p - lr * buf                  (nesterov False)
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SGDState(NamedTuple):
+    momentum: Any  # pytree like params
+
+
+def sgd_init(params) -> SGDState:
+    return SGDState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+
+def sgd_update(
+    params,
+    grads,
+    state: SGDState,
+    lr,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+    nesterov: bool = False,
+) -> Tuple[Any, SGDState]:
+    tm = jax.tree_util.tree_map
+    g_wd = tm(lambda g, p: g + weight_decay * p, grads, params)
+    new_buf = tm(lambda b, g: momentum * b + g, state.momentum, g_wd)
+    step = tm(lambda b, g: momentum * b + g, new_buf, g_wd) if nesterov else new_buf
+    new_params = tm(lambda p, s: p - lr * s, params, step)
+    return new_params, SGDState(momentum=new_buf)
+
+
+def lr_at_epoch(cfg_optim, epoch: int) -> float:
+    """Per-epoch LR with warmup, matching Dassl's scheduler composition.
+
+    Dassl wraps the main scheduler in a warmup scheduler: epochs
+    < WARMUP_EPOCH yield the warmup LR (constant or linear ramp), after
+    which the main schedule applies as a function of epoch index.
+    """
+    lr = float(cfg_optim.LR)
+    max_epoch = int(cfg_optim.MAX_EPOCH)
+    warmup = int(cfg_optim.WARMUP_EPOCH)
+    if warmup > 0 and epoch < warmup:
+        if cfg_optim.WARMUP_TYPE == "constant":
+            return float(cfg_optim.WARMUP_CONS_LR)
+        if cfg_optim.WARMUP_TYPE == "linear":
+            lo = float(cfg_optim.WARMUP_MIN_LR)
+            return lo + (lr - lo) * (epoch + 1) / warmup
+        raise ValueError(f"Unknown WARMUP_TYPE {cfg_optim.WARMUP_TYPE}")
+
+    sched = cfg_optim.LR_SCHEDULER
+    if sched == "cosine":
+        return lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max_epoch))
+    if sched == "single_step":
+        step = cfg_optim.STEPSIZE[0] if cfg_optim.STEPSIZE else -1
+        if step <= 0:
+            return lr
+        return lr * (float(cfg_optim.GAMMA) ** (epoch // step))
+    if sched == "multi_step":
+        passed = sum(1 for s in cfg_optim.STEPSIZE if epoch >= s)
+        return lr * (float(cfg_optim.GAMMA) ** passed)
+    if sched == "constant":
+        return lr
+    raise ValueError(f"Unknown LR_SCHEDULER {sched}")

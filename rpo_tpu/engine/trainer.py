@@ -1,0 +1,280 @@
+"""Trainer base: the Dassl TrainerX lifecycle, TPU-native internals.
+
+Reproduced contract (SURVEY.md §2.9):
+  - ``train()``: epoch loop -> ``forward_backward`` per batch, per-epoch
+    LR update, periodic + final checkpointing, final test, and the
+    ``Finish training`` log marker (parse_test_res.py:170).
+  - ``test()``: eval loop -> evaluator -> ``=> result`` / ``* accuracy:``
+    block (the scraped public log format).
+  - ``register_model``/``load_model``/checkpoint file naming
+    (``model.pth.tar-<epoch>``, ``model-best.pth.tar``) kept byte-compatible
+    with the reference tooling (rpo.py:325-357), though the payload is a
+    pickled numpy pytree instead of a torch state dict.
+  - checkpoints loadable under a different class set: only the tiny
+    trainable pytree is saved, never class-dependent buffers.
+
+Internals differ deliberately: models are pytrees + jitted pure
+functions; the optimizer is a pytree update; batches are padded to a
+fixed shape so each phase compiles exactly one XLA program.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from rpo_tpu.data.manager import DataManager
+from rpo_tpu.engine.evaluator import ClassificationEvaluator
+from rpo_tpu.engine.optim import lr_at_epoch
+from rpo_tpu.engine.registry import TRAINER_REGISTRY
+
+
+def build_trainer(cfg):
+    """Name -> trainer instance (Dassl build_trainer, train.py:163)."""
+    trainer_cls = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)
+    print(f"Loading trainer: {cfg.TRAINER.NAME}")
+    return trainer_cls(cfg)
+
+
+def _to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class MetricMeter:
+    def __init__(self):
+        self.meters: Dict[str, List[float]] = {}
+
+    def update(self, summary: Dict[str, float]) -> None:
+        for k, v in summary.items():
+            self.meters.setdefault(k, []).append(float(v))
+
+    def __str__(self) -> str:
+        return " ".join(
+            f"{k} {vals[-1]:.4f} ({np.mean(vals):.4f})" for k, vals in self.meters.items()
+        )
+
+
+class TrainerBase:
+    """Abstract trainer. Subclasses implement build_model(),
+    forward_backward(batch), model_inference(images) and the checkpoint
+    state accessors."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.check_cfg(cfg)
+        self.output_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        self.start_epoch = 0
+        self.epoch = 0
+        self.max_epoch = int(cfg.OPTIM.MAX_EPOCH)
+        self._model_names: List[str] = []
+        self.best_result = -np.inf
+
+        print("Building data manager")
+        self.dm = DataManager(cfg)
+        self.dm.show_dataset_summary()
+        self.evaluator = ClassificationEvaluator(cfg, self.dm.classnames)
+
+        self.build_model()
+
+    # -- subclass surface ---------------------------------------------------
+    def check_cfg(self, cfg) -> None:  # optional override
+        pass
+
+    def build_model(self) -> None:
+        raise NotImplementedError
+
+    def forward_backward(self, batch) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def model_inference(self, images: np.ndarray) -> np.ndarray:
+        """images (B, H, W, 3) uint8 -> logits (B, n_cls) numpy."""
+        raise NotImplementedError
+
+    def get_ckpt_state(self, name: str) -> Dict[str, Any]:
+        """Trainable state pytree for a registered model name."""
+        raise NotImplementedError
+
+    def set_ckpt_state(self, name: str, state: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def get_optim_state(self, name: str):
+        return None
+
+    def set_optim_state(self, name: str, state) -> None:
+        pass
+
+    def update_lr(self) -> None:
+        """Advance the per-epoch schedule (called at the last batch of each
+        epoch, mirroring rpo.py:313-314). Subclasses read self.current_lr."""
+        self.current_lr = lr_at_epoch(self.cfg.OPTIM, min(self.epoch + 1, self.max_epoch - 1))
+
+    # -- model registry / checkpoints --------------------------------------
+    def register_model(self, name: str) -> None:
+        if name in self._model_names:
+            raise KeyError(f"Model {name} already registered")
+        self._model_names.append(name)
+
+    def get_model_names(self) -> List[str]:
+        return list(self._model_names)
+
+    def save_model(self, epoch: int, is_best: bool = False) -> None:
+        for name in self._model_names:
+            model_dir = os.path.join(self.output_dir, name)
+            os.makedirs(model_dir, exist_ok=True)
+            payload = {
+                "state_dict": _to_numpy(self.get_ckpt_state(name)),
+                "epoch": epoch + 1,
+                "optimizer": _to_numpy(self.get_optim_state(name)),
+                "val_result": self.best_result,
+            }
+            fpath = os.path.join(model_dir, f"model.pth.tar-{epoch + 1}")
+            with open(fpath, "wb") as f:
+                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            print(f"Checkpoint saved to {fpath}")
+            if is_best:
+                best_path = os.path.join(model_dir, "model-best.pth.tar")
+                with open(best_path, "wb") as f:
+                    pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_model(self, directory: str, epoch: Optional[int] = None) -> None:
+        """Reference semantics (rpo.py:325-357): best model by default,
+        specific epoch via ``model.pth.tar-<epoch>``; class-dependent
+        buffers are never in the payload so base->new transfer is safe."""
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained model is given")
+            return
+        model_file = "model-best.pth.tar" if epoch is None else f"model.pth.tar-{epoch}"
+        for name in self._model_names:
+            model_path = os.path.join(directory, name, model_file)
+            if not os.path.exists(model_path):
+                raise FileNotFoundError(f'Model not found at "{model_path}"')
+            with open(model_path, "rb") as f:
+                checkpoint = pickle.load(f)
+            state_dict = checkpoint["state_dict"]
+            # reference drops stale class-dependent buffers; ours never
+            # saves them, but tolerate their presence for compat
+            for stale in ("token_prefix", "token_suffix"):
+                state_dict.pop(stale, None)
+            print(
+                f'Loading weights to {name} from "{model_path}" '
+                f"(epoch = {checkpoint['epoch']})"
+            )
+            self.set_ckpt_state(name, state_dict)
+
+    def resume_model_if_exist(self, directory: str) -> int:
+        if not directory or not self._model_names:
+            return 0
+        name0 = self._model_names[0]
+        ckpts = glob.glob(os.path.join(directory, name0, "model.pth.tar-*"))
+        if not ckpts:
+            print("No checkpoint found, train from scratch")
+            return 0
+        latest = max(int(p.rsplit("-", 1)[1]) for p in ckpts)
+        for name in self._model_names:
+            path = os.path.join(directory, name, f"model.pth.tar-{latest}")
+            with open(path, "rb") as f:
+                checkpoint = pickle.load(f)
+            self.set_ckpt_state(name, checkpoint["state_dict"])
+            if checkpoint.get("optimizer") is not None:
+                self.set_optim_state(name, checkpoint["optimizer"])
+            print(f'Resumed {name} from "{path}" (epoch {checkpoint["epoch"]})')
+        return latest
+
+    # -- lifecycle ----------------------------------------------------------
+    def before_train(self) -> None:
+        self.start_epoch = self.resume_model_if_exist(self.cfg.RESUME)
+        self.time_start = time.time()
+        self.current_lr = lr_at_epoch(self.cfg.OPTIM, self.start_epoch)
+
+    def train(self) -> None:
+        self.before_train()
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+
+    def run_epoch(self) -> None:
+        meter = MetricMeter()
+        loader = self.dm.train_loader_x
+        self.num_batches = len(loader)
+        print_freq = int(self.cfg.TRAIN.PRINT_FREQ)
+        t_start = time.time()
+        data_t, batch_t = [], []
+        t0 = time.time()
+        for self.batch_idx, batch in enumerate(loader):
+            data_t.append(time.time() - t0)
+            summary = self.forward_backward(batch)
+            batch_t.append(time.time() - t0 - data_t[-1])
+            meter.update(summary)
+            if (self.batch_idx + 1) % print_freq == 0 or self.batch_idx + 1 == self.num_batches:
+                nb_remain = (self.max_epoch - self.epoch - 1) * self.num_batches + (
+                    self.num_batches - self.batch_idx - 1
+                )
+                eta = nb_remain * float(np.mean(batch_t) + np.mean(data_t))
+                eta_str = time.strftime("%H:%M:%S", time.gmtime(int(eta)))
+                print(
+                    f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                    f"batch [{self.batch_idx + 1}/{self.num_batches}] "
+                    f"time {batch_t[-1]:.3f} ({np.mean(batch_t):.3f}) "
+                    f"data {data_t[-1]:.3f} ({np.mean(data_t):.3f}) "
+                    f"{meter} "
+                    f"lr {self.current_lr:.4e} "
+                    f"eta {eta_str}"
+                )
+            if self.batch_idx + 1 == self.num_batches:
+                self.update_lr()
+            t0 = time.time()
+        epoch_time = time.time() - t_start
+        print(f"epoch [{self.epoch + 1}/{self.max_epoch}] done in {epoch_time:.1f}s")
+
+    def after_epoch(self) -> None:
+        cfg = self.cfg
+        last_epoch = self.epoch + 1 == self.max_epoch
+        do_test = not cfg.TEST.NO_TEST
+        meet_freq = (
+            cfg.TRAIN.CHECKPOINT_FREQ > 0
+            and (self.epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0
+        )
+        if do_test and cfg.TEST.FINAL_MODEL == "best_val" and self.dm.val_loader:
+            result = self.test(split="val")
+            if result > self.best_result:
+                self.best_result = result
+                self.save_model(self.epoch, is_best=True)
+        if meet_freq or last_epoch:
+            self.save_model(self.epoch)
+
+    def after_train(self) -> None:
+        print("Finish training")
+        if not self.cfg.TEST.NO_TEST:
+            if self.cfg.TEST.FINAL_MODEL == "best_val":
+                print("Deploy the model with the best val performance")
+                self.load_model(self.output_dir)
+            self.test()
+        elapsed = round(time.time() - self.time_start)
+        print(f"Elapsed: {time.strftime('%H:%M:%S', time.gmtime(elapsed))}")
+
+    # -- evaluation ---------------------------------------------------------
+    def test(self, split: Optional[str] = None) -> float:
+        cfg = self.cfg
+        split = split or cfg.TEST.SPLIT
+        if split == "val" and self.dm.val_loader is not None:
+            loader = self.dm.val_loader
+        else:
+            split = "test"
+            loader = self.dm.test_loader
+        print(f"Evaluate on the *{split}* set")
+        self.evaluator.reset()
+        for batch in loader:
+            n = batch["n"]
+            logits = np.asarray(self.model_inference(batch["img"]))
+            self.evaluator.process(logits[:n], batch["label"][:n])
+        results = self.evaluator.evaluate()
+        return float(results["accuracy"])
