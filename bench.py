@@ -1,0 +1,143 @@
+"""Benchmark: RPO 16-shot training throughput on one chip.
+
+Measures the reference workload at protocol fidelity (SURVEY.md §6):
+ViT-B/16, K=24, n_cls=51 (Caltech101 base split), train batch 4
+(configs/trainers/RPO/main_K24.yaml) — full jitted train step including
+the masked text tower over all classes, the masked vision tower, prompt
+gradients, and the SGD update.  Also reports eval images/sec.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline compares against the PyTorch reference's measured training
+throughput on its recommended hardware.  The repo publishes no numbers
+(BASELINE.md), so until a reference run is possible we use a documented
+estimate: RPO K=24 fp16 batch-4 training on a single V100/A100-class GPU
+processes roughly 25 steps/s ≈ 100 images/s (full CLIP fwd+bwd at batch 4
+plus a 51x77 masked text tower per step).  Target is >=5x (BASELINE.json).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TRAIN_IMGS_PER_SEC_ESTIMATE = 100.0  # see module docstring
+REFERENCE_EVAL_IMGS_PER_SEC_ESTIMATE = 400.0
+
+N_CLS = 51
+K = 24
+TRAIN_BATCH = 4
+EVAL_BATCH = 100
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.data.transforms import device_normalize_fn
+    from rpo_tpu.engine.optim import sgd_init, sgd_update
+    from rpo_tpu.methods import rpo as core
+    from rpo_tpu.models.clip import VIT_B16, cast_params, init_clip
+
+    cfg = VIT_B16
+    params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    classnames = [f"object category {i}" for i in range(N_CLS)]
+    task = core.make_task(cfg, classnames, "a photo of a _.", K)
+    prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, K)
+    text_x = core.precompute_text_x(params, task)
+    normalize = device_normalize_fn(
+        [0.48145466, 0.4578275, 0.40821073], [0.26862954, 0.26130258, 0.27577711]
+    )
+
+    def train_step(prompts, opt_state, images_u8, labels, mask, lr):
+        def loss_fn(p):
+            imgs = normalize(images_u8)
+            logits = core.rpo_logits(p, params, task, imgs, text_x=text_x)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            return jnp.sum(nll * mask) / jnp.sum(mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(prompts)
+        prompts, opt_state = sgd_update(prompts, grads, opt_state, lr)
+        return prompts, opt_state, loss
+
+    def eval_step(prompts, text_f, images_u8):
+        imgs = normalize(images_u8)
+        return core.rpo_logits(prompts, params, task, imgs, text_f=text_f)
+
+    train_jit = jax.jit(train_step, donate_argnums=(0, 1))
+    eval_jit = jax.jit(eval_step)
+    text_feat_jit = jax.jit(
+        lambda p: core.encode_text_with_prompts(p, params, task, text_x)
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(
+        rng.randint(0, 256, size=(TRAIN_BATCH, 224, 224, 3)), jnp.uint8
+    )
+    labels = jnp.asarray(rng.randint(0, N_CLS, size=TRAIN_BATCH), jnp.int32)
+    mask = jnp.ones((TRAIN_BATCH,), jnp.float32)
+    opt_state = sgd_init(prompts)
+    lr = jnp.float32(0.01)
+
+    # warmup / compile
+    prompts, opt_state, loss = train_jit(prompts, opt_state, imgs, labels, mask, lr)
+    jax.block_until_ready(loss)
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        prompts, opt_state, loss = train_jit(prompts, opt_state, imgs, labels, mask, lr)
+    jax.block_until_ready(loss)
+    train_dt = time.perf_counter() - t0
+    train_imgs_per_sec = n_steps * TRAIN_BATCH / train_dt
+    steps_per_sec = n_steps / train_dt
+
+    # eval throughput (text features cached once per task)
+    eimgs = jnp.asarray(
+        rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8
+    )
+    text_f = jax.block_until_ready(text_feat_jit(prompts))
+    logits = jax.block_until_ready(eval_jit(prompts, text_f, eimgs))
+    n_eval = 20
+    t0 = time.perf_counter()
+    for _ in range(n_eval):
+        logits = eval_jit(prompts, text_f, eimgs)
+    jax.block_until_ready(logits)
+    eval_dt = time.perf_counter() - t0
+    eval_imgs_per_sec = n_eval * EVAL_BATCH / eval_dt
+
+    # 16-shot epoch wall-clock estimate: 51 classes * 16 shots / batch 4
+    steps_per_epoch = int(np.ceil(N_CLS * 16 / TRAIN_BATCH))
+    epoch_seconds = steps_per_epoch / steps_per_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "rpo_train_images_per_sec",
+                "value": round(train_imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    train_imgs_per_sec / REFERENCE_TRAIN_IMGS_PER_SEC_ESTIMATE, 3
+                ),
+                "extras": {
+                    "train_steps_per_sec": round(steps_per_sec, 2),
+                    "train_batch": TRAIN_BATCH,
+                    "n_cls": N_CLS,
+                    "K": K,
+                    "epoch_16shot_seconds": round(epoch_seconds, 2),
+                    "eval_images_per_sec": round(eval_imgs_per_sec, 2),
+                    "eval_vs_baseline": round(
+                        eval_imgs_per_sec / REFERENCE_EVAL_IMGS_PER_SEC_ESTIMATE, 3
+                    ),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,10 +33,13 @@ class BatchLoader:
         shuffle: bool,
         num_workers: int = 8,
         prefetch: int = 2,
+        pad_to: Optional[int] = None,
     ):
         self.items = list(items)
         self.transform = transform
         self.batch_size = int(batch_size)
+        self.pad_to = int(pad_to) if pad_to else self.batch_size
+        assert self.pad_to >= self.batch_size
         self.train = train
         self.shuffle = shuffle
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
@@ -53,7 +56,7 @@ class BatchLoader:
         imgs = list(
             self.pool.map(lambda it: self.transform(it.impath, self.train), batch_items)
         )
-        B = self.batch_size
+        B = self.pad_to
         n = len(batch_items)
         img0 = imgs[0]
         out_img = np.zeros((B,) + img0.shape, dtype=img0.dtype)

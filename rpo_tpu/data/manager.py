@@ -6,7 +6,10 @@ from cfg.INPUT, and exposes loaders + class metadata to trainers.
 """
 from __future__ import annotations
 
+import jax
+
 from rpo_tpu.engine.registry import DATASET_REGISTRY
+from rpo_tpu.parallel.dp import pad_multiple
 
 from .loader import BatchLoader
 from .transforms import TransformPipeline
@@ -21,22 +24,28 @@ class DataManager:
         self.transform = transform
 
         num_workers = int(cfg.DATALOADER.NUM_WORKERS)
+        # Padded batch shapes must divide over the data-parallel mesh.
+        n_dev = jax.device_count()
+        train_bs = int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
+        test_bs = int(cfg.DATALOADER.TEST.BATCH_SIZE)
         self.train_loader_x = BatchLoader(
             self.dataset.train_x,
             transform,
-            batch_size=int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE),
+            batch_size=train_bs,
             train=True,
             shuffle=True,
             num_workers=num_workers,
+            pad_to=pad_multiple(train_bs, n_dev),
         )
         self.val_loader = (
             BatchLoader(
                 self.dataset.val,
                 transform,
-                batch_size=int(cfg.DATALOADER.TEST.BATCH_SIZE),
+                batch_size=test_bs,
                 train=False,
                 shuffle=False,
                 num_workers=num_workers,
+                pad_to=pad_multiple(test_bs, n_dev),
             )
             if self.dataset.val
             else None
@@ -44,10 +53,11 @@ class DataManager:
         self.test_loader = BatchLoader(
             self.dataset.test,
             transform,
-            batch_size=int(cfg.DATALOADER.TEST.BATCH_SIZE),
+            batch_size=test_bs,
             train=False,
             shuffle=False,
             num_workers=num_workers,
+            pad_to=pad_multiple(test_bs, n_dev),
         )
 
     @property

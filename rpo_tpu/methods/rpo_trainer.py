@@ -9,7 +9,6 @@ parity/debug mode.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
@@ -65,7 +64,6 @@ class RPO(TrainerBase):
         frozen, task = self.clip_params, self.task
         text_x = core.precompute_text_x(frozen, task)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(prompts, opt_state, images_u8, labels, mask, lr):
             def loss_fn(p):
                 imgs = normalize(images_u8)
@@ -81,18 +79,28 @@ class RPO(TrainerBase):
             )
             return prompts, opt_state, loss
 
-        @jax.jit
         def text_features(prompts):
             return core.encode_text_with_prompts(prompts, frozen, task, text_x)
 
-        @jax.jit
         def eval_step(prompts, text_f, images_u8):
             imgs = normalize(images_u8)
             return core.rpo_logits(prompts, frozen, task, imgs, text_f=text_f)
 
-        self._train_step = train_step
-        self._text_features = text_features
-        self._eval_step = eval_step
+        # Data-parallel over all visible devices (the TPU replacement for
+        # the reference's DataParallel-if-multi-gpu branch, rpo.py:282-285).
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            from rpo_tpu.parallel.dp import make_mesh, shard_eval_step, shard_train_step
+
+            print(f"Multiple devices detected (n={n_dev}), data-parallel mesh over ICI")
+            self.mesh = make_mesh()
+            self._train_step = shard_train_step(train_step, self.mesh)
+            self._eval_step = shard_eval_step(eval_step, self.mesh)
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+        self._text_features = jax.jit(text_features)
         self._text_f_cache = None
 
     def forward_backward(self, batch) -> Dict[str, float]:

@@ -1,0 +1,61 @@
+"""Data parallelism over a device mesh — the TPU-native replacement for
+the reference's single-process nn.DataParallel (rpo.py:282-285; SURVEY.md
+§2.10).
+
+Design: one 1-D ``data`` mesh over ICI.  The batch is sharded over the
+axis; the frozen backbone and the tiny prompt pytree are replicated.
+Steps are ordinary jitted functions annotated with NamedShardings —
+GSPMD inserts the collectives (an all-reduce over the ~30k prompt grads
+and the masked-loss scalar reductions), riding ICI.  No shard_map or
+manual psum is needed at this model scale; the sharding annotations ARE
+the parallelism program.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_train_step(train_step, mesh: Mesh, donate: bool = True):
+    """Compile a train_step(prompts, opt_state, images, labels, mask, lr)
+    for data-parallel execution: batch args sharded, state replicated."""
+    rep, shard = replicated(mesh), batch_sharded(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, rep, shard, shard, shard, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def shard_eval_step(eval_step, mesh: Mesh):
+    """eval_step(prompts, text_f, images) -> logits, batch-sharded."""
+    rep, shard = replicated(mesh), batch_sharded(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(rep, rep, shard),
+        out_shardings=shard,
+    )
+
+
+def pad_multiple(batch_size: int, n_devices: int) -> int:
+    """Smallest batch size >= batch_size divisible by n_devices (padded
+    rows are masked out of the loss/metrics)."""
+    return ((batch_size + n_devices - 1) // n_devices) * n_devices
