@@ -1,0 +1,130 @@
+"""Shared trainer plumbing for all CLIP prompt methods.
+
+Every reference method trainer repeats the same build/step/checkpoint
+boilerplate (rpo.py:235-357, coop.py:211-325, cocoop.py, linear_prob.py);
+here it lives once.  Subclasses implement ``build_method()`` which sets
+``self.params`` / ``self.task`` and calls ``_install_steps`` with three
+pure functions:
+
+  train_step(params, opt_state, images_u8, labels, mask, lr)
+      -> (params, opt_state, loss, acc)
+  text_features(params) -> cached per-task tensors for eval (or None)
+  eval_step(params, text_f, images_u8) -> logits
+
+The base wraps them in jit (single device) or GSPMD data-parallel
+shardings (multi-device), manages the text-feature eval cache, and
+implements the Dassl checkpoint surface over ``self.params``.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpo_tpu.data.transforms import device_normalize_fn
+from rpo_tpu.engine.optim import SGDState, sgd_init
+from rpo_tpu.engine.trainer import TrainerBase
+from rpo_tpu.models.clip.pretrained import load_backbone
+
+
+def prec_dtype(prec: str):
+    return {"fp16": jnp.bfloat16, "amp": jnp.bfloat16, "fp32": jnp.float32}[prec]
+
+
+class CLIPMethodTrainer(TrainerBase):
+    prec_key = ""  # e.g. "RPO" -> cfg.TRAINER.RPO.PREC
+    model_name = "model"
+    log_acc = True  # reference RPO logs only loss; CoOp-family logs acc too
+
+    def check_cfg(self, cfg) -> None:
+        assert cfg.TRAINER[self.prec_key].PREC in ["fp16", "fp32", "amp"]
+
+    def build_model(self) -> None:
+        cfg = self.cfg
+        prec = cfg.TRAINER[self.prec_key].PREC
+        seed = max(int(cfg.SEED), 0)
+
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.clip_params, self.clip_cfg = load_backbone(
+            cfg.MODEL.BACKBONE.NAME, dtype=prec_dtype(prec), seed=seed
+        )
+        assert int(cfg.INPUT.SIZE[0]) == self.clip_cfg.image_resolution, (
+            f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal to "
+            f"clip_imsize ({self.clip_cfg.image_resolution})"
+        )
+        self._normalize = device_normalize_fn(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+        self._momentum = float(cfg.OPTIM.MOMENTUM)
+        self._weight_decay = float(cfg.OPTIM.WEIGHT_DECAY)
+        self._nesterov = bool(cfg.OPTIM.SGD_NESTEROV)
+
+        print("Building custom CLIP")
+        self.build_method()
+
+        self.opt_state = sgd_init(self.params)
+        self.register_model(self.model_name)
+        names = {f"{self.model_name}.{k}" for k in self.params}
+        print(f"Parameters to be updated: {names}")
+
+    def build_method(self) -> None:
+        raise NotImplementedError
+
+    def _install_steps(self, train_step, text_features, eval_step) -> None:
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            from rpo_tpu.parallel.dp import make_mesh, shard_eval_step, shard_train_step
+
+            print(f"Multiple devices detected (n={n_dev}), data-parallel mesh over ICI")
+            self.mesh = make_mesh()
+            self._train_step = shard_train_step(train_step, self.mesh)
+            self._eval_step = shard_eval_step(eval_step, self.mesh)
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+        self._text_features = jax.jit(text_features) if text_features else None
+        self._text_f_cache = None
+
+    # -- lifecycle hooks ----------------------------------------------------
+    def forward_backward(self, batch) -> Dict[str, float]:
+        self.params, self.opt_state, loss, acc = self._train_step(
+            self.params,
+            self.opt_state,
+            jnp.asarray(batch["img"]),
+            jnp.asarray(batch["label"]),
+            jnp.asarray(batch["mask"]),
+            jnp.float32(self.current_lr),
+        )
+        self._text_f_cache = None
+        summary = {"loss": float(loss)}
+        if self.log_acc:
+            summary["acc"] = 100.0 * float(acc)
+        return summary
+
+    def model_inference(self, images: np.ndarray) -> np.ndarray:
+        if self._text_features is not None and self._text_f_cache is None:
+            self._text_f_cache = self._text_features(self.params)
+        return np.asarray(
+            self._eval_step(self.params, self._text_f_cache, jnp.asarray(images)),
+            dtype=np.float32,
+        )
+
+    # -- checkpoint state ---------------------------------------------------
+    def get_ckpt_state(self, name: str):
+        return self.params
+
+    def set_ckpt_state(self, name: str, state) -> None:
+        for stale in ("token_prefix", "token_suffix"):
+            state.pop(stale, None)
+        self.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), dict(state)
+        )
+        self.opt_state = sgd_init(self.params)
+        self._text_f_cache = None
+
+    def get_optim_state(self, name: str):
+        return self.opt_state.momentum
+
+    def set_optim_state(self, name: str, state) -> None:
+        self.opt_state = SGDState(momentum=jax.tree_util.tree_map(jnp.asarray, state))

@@ -1,0 +1,128 @@
+"""CoCoOp: Conditional Context Optimization — TPU-native.
+
+Behavior contract: /root/reference/trainers/cocoop.py.  A meta-net
+(Linear d_e -> d_e/16 -> ReLU -> Linear -> d_t) maps each image's CLIP
+feature to a bias added to the shared context vectors; the text tower
+then runs once per (image, class).
+
+TPU-first reformulation: the reference loops over images in Python
+(cocoop.py:153-161,183-189 — hence its batch-size-1 configs).  Here the
+per-image text encode is ``vmap``-ed over the batch: one fused XLA
+program of shape (B, n_cls, 77) — removing the batch-1 constraint.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpo_tpu.engine.optim import sgd_update
+from rpo_tpu.engine.registry import TRAINER_REGISTRY
+from rpo_tpu.methods import coop as coop_core
+from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
+from rpo_tpu.models.clip import encode_image
+
+Params = Dict[str, jnp.ndarray]
+
+
+def init_meta_net(key: jax.Array, vis_dim: int, ctx_dim: int) -> Params:
+    """Two-layer MLP with torch nn.Linear default init
+    (U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights and biases)."""
+    hidden = vis_dim // 16
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    b1 = 1.0 / np.sqrt(vis_dim)
+    b2 = 1.0 / np.sqrt(hidden)
+    return {
+        "w1": jax.random.uniform(k1, (vis_dim, hidden), jnp.float32, -b1, b1),
+        "b1": jax.random.uniform(k2, (hidden,), jnp.float32, -b1, b1),
+        "w2": jax.random.uniform(k3, (hidden, ctx_dim), jnp.float32, -b2, b2),
+        "b2": jax.random.uniform(k4, (ctx_dim,), jnp.float32, -b2, b2),
+    }
+
+
+def meta_net_apply(p: Params, x: jax.Array) -> jax.Array:
+    h = jax.nn.relu(x @ p["w1"].astype(x.dtype) + p["b1"].astype(x.dtype))
+    return h @ p["w2"].astype(x.dtype) + p["b2"].astype(x.dtype)
+
+
+def cocoop_logits(
+    params: Params, clip_params, task: coop_core.CoOpTask, images: jax.Array
+) -> jax.Array:
+    """(B, n_cls) logits with image-conditioned contexts
+    (cocoop.py:144-189), vmapped over the batch."""
+    cfg = task.cfg
+    image_features = encode_image(clip_params, cfg, images).astype(jnp.float32)
+    imf = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+
+    bias = meta_net_apply(params["meta_net"], imf)  # (B, ctx_dim)
+    ctx = params["ctx"].astype(jnp.float32)  # (n_ctx, ctx_dim)
+    ctx_shifted = ctx[None] + bias[:, None, :]  # (B, n_ctx, ctx_dim)
+
+    frozen_emb = clip_params["text"]["token_embedding"][jnp.asarray(task.text_tokens)]
+    tokens = jnp.asarray(task.text_tokens)
+    scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+
+    def per_image(ctx_i, imf_i):
+        prompts_emb = coop_core.assemble_prompt_embeddings(ctx_i, frozen_emb, task)
+        text_f = coop_core.text_encoder(clip_params, cfg, prompts_emb, tokens)
+        text_f = text_f.astype(jnp.float32)
+        text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
+        return scale * text_f @ imf_i  # (n_cls,)
+
+    return jax.vmap(per_image)(ctx_shifted, imf)
+
+
+@TRAINER_REGISTRY.register()
+class CoCoOp(CLIPMethodTrainer):
+    """Trainer: /root/reference/trainers/cocoop.py:197-314."""
+
+    prec_key = "COCOOP"
+    model_name = "prompt_learner"
+
+    def build_method(self) -> None:
+        cfg = self.cfg
+        tcfg = cfg.TRAINER.COCOOP
+        seed = max(int(cfg.SEED), 0)
+        k_ctx, k_meta = jax.random.split(jax.random.PRNGKey(seed))
+
+        ctx_params, prompt_prefix, n_ctx = coop_core.init_ctx(
+            k_ctx, self.clip_params, self.clip_cfg,
+            len(self.dm.classnames), int(tcfg.N_CTX), False, tcfg.CTX_INIT,
+        )
+        print(f'Initial context: "{prompt_prefix}"')
+        print(f"Number of context words (tokens): {n_ctx}")
+        self.params = {
+            "ctx": ctx_params["ctx"],
+            "meta_net": init_meta_net(
+                k_meta, self.clip_cfg.embed_dim, self.clip_cfg.text_width
+            ),
+        }
+        self.task = coop_core.make_task(
+            self.clip_cfg, self.dm.classnames, n_ctx, False, "end", prompt_prefix
+        )
+
+        frozen, task = self.clip_params, self.task
+        normalize = self._normalize
+
+        def train_step(params, opt_state, images_u8, labels, mask, lr):
+            def loss_fn(p):
+                logits = cocoop_logits(p, frozen, task, normalize(images_u8))
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                return jnp.sum(nll * mask) / jnp.sum(mask), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params, opt_state = sgd_update(
+                params, grads, opt_state, lr,
+                momentum=self._momentum, weight_decay=self._weight_decay,
+                nesterov=self._nesterov,
+            )
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
+            return params, opt_state, loss, acc
+
+        def eval_step(params, _unused_text_f, images_u8):
+            return cocoop_logits(params, frozen, task, normalize(images_u8))
+
+        self._install_steps(train_step, None, eval_step)

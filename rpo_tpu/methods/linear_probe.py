@@ -1,0 +1,84 @@
+"""Linear Probe baseline — TPU-native.
+
+Behavior contract: /root/reference/trainers/linear_prob.py.  One trainable
+Linear (d_t -> d_t) initialized to identity+zero-bias, applied to
+*unnormalized* frozen image features; logits against frozen, normalized
+text features built from TRAINER.LP.PROMPT (raw classnames, no underscore
+replacement — linear_prob.py:66).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from rpo_tpu.engine.optim import sgd_update
+from rpo_tpu.engine.registry import TRAINER_REGISTRY
+from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
+from rpo_tpu.models.clip import encode_image, encode_text
+from rpo_tpu.tokenizer import tokenize
+
+Params = Dict[str, jnp.ndarray]
+
+
+def lp_logits(
+    params: Params, clip_params, cfg, text_f: jax.Array, images: jax.Array
+) -> jax.Array:
+    """(B, n_cls): scale * lp(image_features) @ text_f.T
+    (linear_prob.py:85-97; image features intentionally unnormalized)."""
+    imf = encode_image(clip_params, cfg, images).astype(jnp.float32)
+    imf = imf @ params["w"] + params["b"]
+    scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+    return scale * imf @ text_f.T
+
+
+@TRAINER_REGISTRY.register()
+class LP(CLIPMethodTrainer):
+    """Trainer: /root/reference/trainers/linear_prob.py:100-191."""
+
+    prec_key = "LP"
+    model_name = "lp_layer"
+
+    def build_method(self) -> None:
+        cfg = self.cfg
+        # applied to image features: dimension embed_dim (the reference uses
+        # ln_final width, identical for ViT-B/16 where both are 512)
+        d = self.clip_cfg.embed_dim
+        self.params = {
+            "w": jnp.eye(d, dtype=jnp.float32),
+            "b": jnp.zeros((d,), jnp.float32),
+        }
+        self.task = None
+
+        prompts = [
+            cfg.TRAINER.LP.PROMPT.format(cls_name=c) for c in self.dm.classnames
+        ]
+        tokens = jnp.asarray(tokenize(prompts))
+        text_f = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
+        text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
+        self._frozen_text_f = text_f
+
+        frozen, ccfg = self.clip_params, self.clip_cfg
+        normalize = self._normalize
+
+        def train_step(params, opt_state, images_u8, labels, mask, lr):
+            def loss_fn(p):
+                logits = lp_logits(p, frozen, ccfg, text_f, normalize(images_u8))
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                return jnp.sum(nll * mask) / jnp.sum(mask), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params, opt_state = sgd_update(
+                params, grads, opt_state, lr,
+                momentum=self._momentum, weight_decay=self._weight_decay,
+                nesterov=self._nesterov,
+            )
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
+            return params, opt_state, loss, acc
+
+        def eval_step(params, _unused, images_u8):
+            return lp_logits(params, frozen, ccfg, text_f, normalize(images_u8))
+
+        self._install_steps(train_step, None, eval_step)

@@ -1,0 +1,93 @@
+"""Zero-shot CLIP baselines — TPU-native.
+
+Behavior contract: /root/reference/trainers/zsclip.py.  ZeroshotCLIP
+caches normalized text features from per-dataset hand templates;
+ZeroshotCLIP2 ensembles IMAGENET_TEMPLATES_SELECT (+ the dataset
+template, except ImageNet): mean then renormalize.
+Both are eval-only (used with --eval-only in scripts/zsclip).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpo_tpu.data.transforms import device_normalize_fn
+from rpo_tpu.engine.registry import TRAINER_REGISTRY
+from rpo_tpu.engine.trainer import TrainerBase
+from rpo_tpu.methods.templates import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT
+from rpo_tpu.models.clip import encode_image, encode_text
+from rpo_tpu.models.clip.pretrained import load_backbone
+from rpo_tpu.tokenizer import tokenize
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP(TrainerBase):
+    """zsclip.py:32-60."""
+
+    def _text_features_for(self, templates) -> jnp.ndarray:
+        feats = 0.0
+        for temp in templates:
+            prompts = [
+                temp.format(c.replace("_", " ")) for c in self.dm.classnames
+            ]
+            tokens = jnp.asarray(tokenize(prompts))
+            tf = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
+            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+            feats = feats + tf
+        feats = feats / len(templates)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def _select_templates(self):
+        temp = CUSTOM_TEMPLATES[self.cfg.DATASET.NAME]
+        print(f"Prompts template: {temp!r}")
+        return [temp]
+
+    def build_model(self) -> None:
+        cfg = self.cfg
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.clip_params, self.clip_cfg = load_backbone(
+            cfg.MODEL.BACKBONE.NAME, dtype=jnp.bfloat16, seed=max(int(cfg.SEED), 0)
+        )
+        self._normalize = device_normalize_fn(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+        self.text_features = self._text_features_for(self._select_templates())
+
+        frozen, ccfg, normalize = self.clip_params, self.clip_cfg, self._normalize
+
+        def eval_step(text_f, images_u8):
+            imf = encode_image(frozen, ccfg, normalize(images_u8)).astype(jnp.float32)
+            imf = imf / jnp.linalg.norm(imf, axis=-1, keepdims=True)
+            scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+            return scale * imf @ text_f.T
+
+        self._eval_step = jax.jit(eval_step)
+
+    def forward_backward(self, batch):
+        raise RuntimeError("ZeroshotCLIP is evaluation-only (use --eval-only)")
+
+    def model_inference(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self._eval_step(self.text_features, jnp.asarray(images)), np.float32
+        )
+
+    # eval-only: nothing to checkpoint
+    def save_model(self, epoch, is_best=False):
+        pass
+
+    def load_model(self, directory, epoch=None):
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained model is given")
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP2(ZeroshotCLIP):
+    """Prompt ensembling (zsclip.py:63-99)."""
+
+    templates = IMAGENET_TEMPLATES_SELECT
+
+    def _select_templates(self):
+        templates = list(self.templates)
+        if self.cfg.DATASET.NAME != "ImageNet":
+            templates.append(CUSTOM_TEMPLATES[self.cfg.DATASET.NAME])
+        print(f"Prompt ensembling (n={len(templates)})")
+        return templates

@@ -34,13 +34,15 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_train_step(train_step, mesh: Mesh, donate: bool = True):
-    """Compile a train_step(prompts, opt_state, images, labels, mask, lr)
-    for data-parallel execution: batch args sharded, state replicated."""
+    """Compile a train_step(params, opt_state, images, labels, mask, lr)
+    for data-parallel execution: batch args sharded, state replicated.
+    Outputs (state pytrees + scalar metrics) are replicated — GSPMD
+    inserts the prompt-grad all-reduce."""
     rep, shard = replicated(mesh), batch_sharded(mesh)
     return jax.jit(
         train_step,
         in_shardings=(rep, rep, shard, shard, shard, rep),
-        out_shardings=(rep, rep, rep),
+        out_shardings=rep,  # pytree prefix: replicate every output
         donate_argnums=(0, 1) if donate else (),
     )
 

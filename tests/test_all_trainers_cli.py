@@ -1,0 +1,57 @@
+"""CLI smoke for every registered trainer on the synthetic dataset."""
+import os
+import re
+
+import pytest
+
+from .test_engine_e2e import REPO, run_cli
+
+COMMON = [
+    "--seed", "1",
+    "--dataset-config-file", "configs/datasets/synthetic.yaml",
+    "DATASET.NUM_SHOTS", "2",
+    "OPTIM.MAX_EPOCH", "1",
+    "MODEL.BACKBONE.NAME", "TINY",
+    "INPUT.SIZE", "(32, 32)",
+    "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+    "DATALOADER.TEST.BATCH_SIZE", "16",
+]
+
+
+def _acc(stdout: str) -> float:
+    m = re.search(r"\* accuracy: ([\.\deE+-]+)%", stdout)
+    assert m, stdout
+    return float(m.group(1))
+
+
+@pytest.mark.parametrize(
+    "trainer,config,extra",
+    [
+        ("CoOp", "configs/trainers/CoOp/vit_b16_ep50.yaml", ["TRAINER.COOP.PREC", "fp32", "TRAINER.COOP.CLASS_TOKEN_POSITION", "end"]),
+        ("CoOp", "configs/trainers/CoOp/vit_b16_ep50_ctxv1.yaml", ["TRAINER.COOP.PREC", "fp32"]),
+        ("CoCoOp", "configs/trainers/CoCoOp/vit_b16_c4_ep10_batch1.yaml", ["TRAINER.COCOOP.PREC", "fp32", "DATALOADER.TRAIN_X.BATCH_SIZE", "4"]),
+        ("LP", "configs/trainers/LP/vit_b16_c4_ep10_batch1.yaml", ["TRAINER.LP.PREC", "fp32", "DATALOADER.TRAIN_X.BATCH_SIZE", "4"]),
+    ],
+)
+def test_trainer_cli_smoke(tmp_path, trainer, config, extra):
+    out = str(tmp_path / trainer)
+    stdout = run_cli(
+        ["--trainer", trainer, "--config-file", config, "--output-dir", out]
+        + COMMON
+        + extra
+    )
+    assert "Finish training" in stdout
+    _acc(stdout)
+    # checkpoint written under the registered model name
+    sub = {"CoOp": "prompt_learner", "CoCoOp": "prompt_learner", "LP": "lp_layer"}[trainer]
+    assert os.path.exists(os.path.join(out, sub, "model.pth.tar-1"))
+
+
+@pytest.mark.parametrize("trainer", ["ZeroshotCLIP", "ZeroshotCLIP2"])
+def test_zeroshot_eval_only(tmp_path, trainer):
+    out = str(tmp_path / trainer)
+    stdout = run_cli(
+        ["--trainer", trainer, "--eval-only", "--output-dir", out] + COMMON
+    )
+    _acc(stdout)
+    assert "Finish training" not in stdout
