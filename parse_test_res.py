@@ -1,0 +1,119 @@
+"""Aggregate test results from log.txt files across seed directories.
+
+CLI- and output-compatible with the reference tool
+(/root/reference/parse_test_res.py): walks seed subdirs, scrapes
+``* <keyword>: X%`` lines appearing after the end signal (``Finish
+training``, or ``=> result`` with --test-log), prints per-seed values and
+mean +- std (or CI95), and with --multi-exp aggregates nested layouts.
+
+Adds --hmean: given directories whose names end in base/new (the
+base-to-new protocol layout), also prints the harmonic mean H =
+2*base*new/(base+new) — computed offline by the paper's authors, now a
+flag.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import re
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+
+def listdir_nohidden(path, sort=False):
+    items = [f for f in os.listdir(path) if not f.startswith(".")]
+    if sort:
+        items.sort()
+    return items
+
+
+def compute_ci95(values) -> float:
+    return 1.96 * np.std(values) / np.sqrt(len(values))
+
+
+def parse_dir(directory: str, keyword: str, end_signal: str, ci95: bool):
+    regex = re.compile(rf"\* {keyword}: ([\.\deE+-]+)%")
+    print(f"Parsing files in {directory}")
+    outputs = []
+    for subdir in listdir_nohidden(directory, sort=True):
+        fpath = osp.join(directory, subdir, "log.txt")
+        assert osp.isfile(fpath), f"Missing {fpath}"
+        good_to_go = False
+        output = OrderedDict()
+        with open(fpath) as f:
+            for line in f:
+                line = line.strip()
+                if line == end_signal:
+                    good_to_go = True
+                match = regex.search(line)
+                if match and good_to_go:
+                    output.setdefault("file", fpath)
+                    output[keyword] = float(match.group(1))
+        if output:
+            outputs.append(output)
+    assert len(outputs) > 0, f"Nothing found in {directory}"
+
+    metrics_results = defaultdict(list)
+    for output in outputs:
+        msg = ""
+        for key, value in output.items():
+            msg += f"{key}: {value:.2f}%. " if isinstance(value, float) else f"{key}: {value}. "
+            if key != "file":
+                metrics_results[key].append(value)
+        print(msg)
+
+    results = OrderedDict()
+    print("===")
+    print(f"Summary of directory: {directory}")
+    for key, values in metrics_results.items():
+        avg = np.mean(values)
+        spread = compute_ci95(values) if ci95 else np.std(values)
+        print(f"* {key}: {avg:.2f}% +- {spread:.2f}%")
+        results[key] = avg
+    print("===")
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("directory", type=str, help="path to directory")
+    parser.add_argument("--ci95", action="store_true", help="compute 95% confidence interval")
+    parser.add_argument("--test-log", action="store_true", help="parse test-only logs")
+    parser.add_argument("--multi-exp", action="store_true", help="parse multiple experiments")
+    parser.add_argument("--keyword", default="accuracy", type=str, help="keyword to extract")
+    parser.add_argument(
+        "--hmean", action="store_true",
+        help="also print harmonic mean over sub-experiments named */base and */new",
+    )
+    args = parser.parse_args()
+
+    end_signal = "=> result" if args.test_log else "Finish training"
+
+    if args.multi_exp or args.hmean:
+        final_results = defaultdict(list)
+        named = {}
+        for sub in listdir_nohidden(args.directory, sort=True):
+            directory = osp.join(args.directory, sub)
+            results = parse_dir(directory, args.keyword, end_signal, args.ci95)
+            named[sub] = results
+            for key, value in results.items():
+                final_results[key].append(value)
+        print("Average performance")
+        for key, values in final_results.items():
+            print(f"* {key}: {np.mean(values):.2f}%")
+        if args.hmean:
+            base = [v[args.keyword] for k, v in named.items() if k.endswith("base")]
+            new = [v[args.keyword] for k, v in named.items() if k.endswith("new")]
+            if base and new:
+                b, n = np.mean(base), np.mean(new)
+                print(f"* harmonic mean (H): {2 * b * n / (b + n):.2f}%")
+            else:
+                print("(!) --hmean: no */base and */new sub-experiments found")
+    else:
+        parse_dir(args.directory, args.keyword, end_signal, args.ci95)
+
+
+if __name__ == "__main__":
+    main()
