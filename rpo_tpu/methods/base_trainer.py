@@ -6,10 +6,15 @@ here it lives once.  Subclasses implement ``build_method()`` which sets
 ``self.params`` / ``self.task`` and calls ``_install_steps`` with three
 pure functions:
 
-  train_step(params, opt_state, images_u8, labels, mask, lr)
+  train_step(params, opt_state, frozen, images_u8, labels, mask, lr)
       -> (params, opt_state, loss, acc)
-  text_features(params) -> cached per-task tensors for eval (or None)
-  eval_step(params, text_f, images_u8) -> logits
+  text_features(params, frozen) -> cached per-task tensors for eval (or None)
+  eval_step(params, frozen, text_f, images_u8) -> logits
+
+``frozen`` is the method's bundle of non-trainable device tensors
+(backbone pytree + task constants), supplied via ``self._frozen`` and
+passed as a jit argument — closing over it would embed ~300MB of
+weights into the executable as constants (minutes of compile time).
 
 The base wraps them in jit (single device) or GSPMD data-parallel
 shardings (multi-device), manages the text-feature eval cache, and
@@ -71,6 +76,22 @@ class CLIPMethodTrainer(TrainerBase):
         raise NotImplementedError
 
     def _install_steps(self, train_step, text_features, eval_step) -> None:
+        from rpo_tpu.ops.attention import pallas_attention_scope
+
+        # Fused Pallas attention on forward-only (eval) paths — measured
+        # ~14% faster on TPU v5e; training keeps the XLA path (its
+        # backward is faster there).
+        raw_eval, raw_text = eval_step, text_features
+
+        def eval_step(*args):
+            with pallas_attention_scope(True):
+                return raw_eval(*args)
+
+        if raw_text is not None:
+            def text_features(*args):
+                with pallas_attention_scope(True):
+                    return raw_text(*args)
+
         n_dev = jax.device_count()
         if n_dev > 1:
             from rpo_tpu.parallel.dp import make_mesh, shard_eval_step, shard_train_step
@@ -85,12 +106,14 @@ class CLIPMethodTrainer(TrainerBase):
             self._eval_step = jax.jit(eval_step)
         self._text_features = jax.jit(text_features) if text_features else None
         self._text_f_cache = None
+        assert hasattr(self, "_frozen"), "build_method must set self._frozen"
 
     # -- lifecycle hooks ----------------------------------------------------
     def forward_backward(self, batch) -> Dict[str, float]:
         self.params, self.opt_state, loss, acc = self._train_step(
             self.params,
             self.opt_state,
+            self._frozen,
             jnp.asarray(batch["img"]),
             jnp.asarray(batch["label"]),
             jnp.asarray(batch["mask"]),
@@ -104,9 +127,11 @@ class CLIPMethodTrainer(TrainerBase):
 
     def model_inference(self, images: np.ndarray) -> np.ndarray:
         if self._text_features is not None and self._text_f_cache is None:
-            self._text_f_cache = self._text_features(self.params)
+            self._text_f_cache = self._text_features(self.params, self._frozen)
         return np.asarray(
-            self._eval_step(self.params, self._text_f_cache, jnp.asarray(images)),
+            self._eval_step(
+                self.params, self._frozen, self._text_f_cache, jnp.asarray(images)
+            ),
             dtype=np.float32,
         )
 

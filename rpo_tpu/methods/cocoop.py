@@ -103,12 +103,13 @@ class CoCoOp(CLIPMethodTrainer):
             self.clip_cfg, self.dm.classnames, n_ctx, False, "end", prompt_prefix
         )
 
-        frozen, task = self.clip_params, self.task
+        task = self.task
         normalize = self._normalize
+        self._frozen = {"clip": self.clip_params}
 
-        def train_step(params, opt_state, images_u8, labels, mask, lr):
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
             def loss_fn(p):
-                logits = cocoop_logits(p, frozen, task, normalize(images_u8))
+                logits = cocoop_logits(p, frozen["clip"], task, normalize(images_u8))
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                 return jnp.sum(nll * mask) / jnp.sum(mask), logits
@@ -122,7 +123,7 @@ class CoCoOp(CLIPMethodTrainer):
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
             return params, opt_state, loss, acc
 
-        def eval_step(params, _unused_text_f, images_u8):
-            return cocoop_logits(params, frozen, task, normalize(images_u8))
+        def eval_step(params, frozen, _unused_text_f, images_u8):
+            return cocoop_logits(params, frozen["clip"], task, normalize(images_u8))
 
         self._install_steps(train_step, None, eval_step)

@@ -242,13 +242,14 @@ class CoOp(CLIPMethodTrainer):
             self.clip_cfg, self.dm.classnames, n_ctx, bool(tcfg.CSC), position, prompt_prefix
         )
 
-        frozen, task = self.clip_params, self.task
+        task = self.task
         normalize = self._normalize
+        self._frozen = {"clip": self.clip_params}
 
-        def train_step(params, opt_state, images_u8, labels, mask, lr):
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
             def loss_fn(p):
                 imgs = normalize(images_u8)
-                logits = coop_logits(p, frozen, task, imgs)
+                logits = coop_logits(p, frozen["clip"], task, imgs)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                 return jnp.sum(nll * mask) / jnp.sum(mask), logits
@@ -262,11 +263,11 @@ class CoOp(CLIPMethodTrainer):
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
             return params, opt_state, loss, acc
 
-        def text_features(params):
-            return coop_text_features(params, frozen, task)
+        def text_features(params, frozen):
+            return coop_text_features(params, frozen["clip"], task)
 
-        def eval_step(params, text_f, images_u8):
+        def eval_step(params, frozen, text_f, images_u8):
             imgs = normalize(images_u8)
-            return coop_logits(params, frozen, task, imgs, text_f=text_f)
+            return coop_logits(params, frozen["clip"], task, imgs, text_f=text_f)
 
         self._install_steps(train_step, text_features, eval_step)

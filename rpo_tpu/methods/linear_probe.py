@@ -57,14 +57,15 @@ class LP(CLIPMethodTrainer):
         tokens = jnp.asarray(tokenize(prompts))
         text_f = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
         text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
-        self._frozen_text_f = text_f
-
-        frozen, ccfg = self.clip_params, self.clip_cfg
+        ccfg = self.clip_cfg
         normalize = self._normalize
+        self._frozen = {"clip": self.clip_params, "text_f": text_f}
 
-        def train_step(params, opt_state, images_u8, labels, mask, lr):
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
             def loss_fn(p):
-                logits = lp_logits(p, frozen, ccfg, text_f, normalize(images_u8))
+                logits = lp_logits(
+                    p, frozen["clip"], ccfg, frozen["text_f"], normalize(images_u8)
+                )
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                 return jnp.sum(nll * mask) / jnp.sum(mask), logits
@@ -78,7 +79,9 @@ class LP(CLIPMethodTrainer):
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
             return params, opt_state, loss, acc
 
-        def eval_step(params, _unused, images_u8):
-            return lp_logits(params, frozen, ccfg, text_f, normalize(images_u8))
+        def eval_step(params, frozen, _unused, images_u8):
+            return lp_logits(
+                params, frozen["clip"], ccfg, frozen["text_f"], normalize(images_u8)
+            )
 
         self._install_steps(train_step, None, eval_step)

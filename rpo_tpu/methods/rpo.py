@@ -80,7 +80,15 @@ def build_visual_mask(seq_len: int, K: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class RPOTask:
-    """Static per-(dataset, class-subset) state closed over at jit time."""
+    """Static per-(dataset, class-subset) state closed over at jit time.
+
+    ``prompt_onehot[c, p, i] = 1`` iff position p of class c's sequence is
+    prompt slot i (p == len_prompts[c] + i).  Prompt injection and output
+    extraction are one-hot einsums instead of scatter/gather: scatters
+    with 2D advanced indices take *minutes* to compile on the TPU backend
+    (measured 317s vs 25s for the whole tower) and lower poorly, while
+    one-hot contractions ride the MXU and differentiate cleanly.
+    """
 
     cfg: CLIPConfig
     K: int
@@ -89,6 +97,7 @@ class RPOTask:
     len_prompts: np.ndarray  # (n_cls,) int32 — #real tokens incl. EOT
     text_mask: np.ndarray  # (n_cls, 1, 77, 77) f32
     visual_mask: np.ndarray  # (1, 1, S, S) f32
+    prompt_onehot: np.ndarray  # (n_cls, 77, K) f32
 
 
 def make_task(cfg: CLIPConfig, classnames, prompt_template: str, K: int) -> RPOTask:
@@ -107,14 +116,19 @@ def make_task(cfg: CLIPConfig, classnames, prompt_template: str, K: int) -> RPOT
             f"(max len {int(len_prompts.max())}, context {cfg.context_length})"
         )
     seq_len = cfg.vision_seq_len + K
+    n_cls = len(classnames)
+    positions = np.arange(cfg.context_length)[None, :, None]  # (1, 77, 1)
+    slots = len_prompts[:, None, None] + np.arange(K)[None, None, :]  # (n_cls, 1, K)
+    prompt_onehot = (positions == slots).astype(np.float32)  # (n_cls, 77, K)
     return RPOTask(
         cfg=cfg,
         K=K,
-        n_cls=len(classnames),
+        n_cls=n_cls,
         text_tokens=tokens,
         len_prompts=len_prompts,
         text_mask=build_text_mask(len_prompts, cfg.context_length),
         visual_mask=build_visual_mask(seq_len, K),
+        prompt_onehot=prompt_onehot,
     )
 
 
@@ -146,45 +160,75 @@ def precompute_text_x(clip_params: Params, task: RPOTask) -> jax.Array:
     return emb + t["positional_embedding"].astype(emb.dtype)
 
 
+def make_frozen(clip_params: Params, task: RPOTask) -> Params:
+    """Bundle every non-trainable tensor a jitted RPO step touches.
+
+    This bundle must be passed as a jit ARGUMENT (never closed over):
+    jax embeds closure arrays into the compiled HLO as literal constants
+    — for the ~300MB CLIP pytree that meant gigabyte executables and
+    200-350s compiles (measured on TPU v5e) vs seconds as parameters.
+    """
+    return {
+        "clip": clip_params,
+        "text_x": precompute_text_x(clip_params, task),
+        "text_mask": jnp.asarray(task.text_mask),
+        "visual_mask": jnp.asarray(task.visual_mask),
+        "prompt_onehot": jnp.asarray(task.prompt_onehot),
+    }
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
+def _as_frozen(frozen_or_clip: Params, task: RPOTask) -> Params:
+    """Accept either a make_frozen() bundle or bare clip params (test
+    convenience — bare params rebuild the bundle in-trace)."""
+    if "clip" in frozen_or_clip:
+        return frozen_or_clip
+    return make_frozen(frozen_or_clip, task)
+
+
 def encode_text_with_prompts(
-    prompts: Params, clip_params: Params, task: RPOTask, text_x: jax.Array
+    prompts: Params,
+    frozen: Params,
+    task: RPOTask,
+    text_x: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked text tower -> prompt-position features (n_cls, K, embed)."""
+    frozen = _as_frozen(frozen, task)
     cfg = task.cfg
-    t = clip_params["text"]
+    t = frozen["clip"]["text"]
+    if text_x is None:
+        text_x = frozen["text_x"]
     dtype = text_x.dtype
-    n_cls, K = task.n_cls, task.K
 
-    len_prompts = jnp.asarray(task.len_prompts)
-    cls_idx = jnp.arange(n_cls)[:, None]  # (n_cls, 1)
-    pos_idx = len_prompts[:, None] + jnp.arange(K)[None, :]  # (n_cls, K)
-
-    # Vectorized scatter of the K learnable prompts into each class row
-    # (replaces the in-place loop at rpo.py:176-177).
+    # One-hot injection of the K learnable prompts at per-class positions
+    # (replaces the reference's in-place scatter loop, rpo.py:176-177;
+    # one-hot contractions ride the MXU and differentiate cleanly).
+    onehot = frozen["prompt_onehot"].astype(dtype)  # (n_cls, 77, K)
     tp = prompts["text_prompt"].astype(dtype)  # (K, d_t)
-    x = text_x.at[cls_idx, pos_idx].set(jnp.broadcast_to(tp[None], (n_cls, K, cfg.text_width)))
+    is_prompt = jnp.sum(onehot, axis=-1, keepdims=True)  # (n_cls, 77, 1) 0/1
+    injected = jnp.einsum("cpk,kd->cpd", onehot, tp)
+    x = text_x * (1.0 - is_prompt).astype(dtype) + injected
 
-    bias = jnp.asarray(task.text_mask)
-    x = text_transformer_run(t, cfg, x, bias)
+    x = text_transformer_run(t, cfg, x, frozen["text_mask"])
     x = layer_norm(x, t["ln_final"])
 
-    # Gather the K prompt outputs per class (replaces rpo.py:186-189).
-    feats = x[cls_idx, pos_idx]  # (n_cls, K, d_t)
+    # One-hot extraction of the K prompt outputs (replaces rpo.py:186-189).
+    feats = jnp.einsum("cpk,cpd->ckd", onehot.astype(x.dtype), x)  # (n_cls, K, d_t)
     return jnp.einsum(
         "ckd,de->cke", feats, t["text_projection"], preferred_element_type=jnp.float32
     ).astype(dtype)
 
 
 def encode_image_with_prompts(
-    prompts: Params, clip_params: Params, task: RPOTask, images: jax.Array
+    prompts: Params, frozen: Params, task: RPOTask, images: jax.Array
 ) -> jax.Array:
     """Masked vision tower -> appended-prompt features (B, K, embed)."""
+    frozen = _as_frozen(frozen, task)
     cfg = task.cfg
-    v = clip_params["visual"]
+    v = frozen["clip"]["visual"]
     K = task.K
 
     x = vision_embed(v, cfg, images)  # (B, 197, d_v) — cls+patches+pos
@@ -193,8 +237,7 @@ def encode_image_with_prompts(
         prompts["img_prompt"].astype(dtype)[None], (x.shape[0], K, cfg.vision_width)
     )
     x = jnp.concatenate([x, ip], axis=1)  # append prompts (rpo.py:204)
-    bias = jnp.asarray(task.visual_mask)
-    x = vision_transformer_run(v, cfg, x, bias)
+    x = vision_transformer_run(v, cfg, x, frozen["visual_mask"])
     feats = layer_norm(x[:, -K:, :], v["ln_post"])  # (B, K, d_v)
     return jnp.einsum(
         "bkd,de->bke", feats, v["proj"], preferred_element_type=jnp.float32
@@ -203,7 +246,7 @@ def encode_image_with_prompts(
 
 def rpo_logits(
     prompts: Params,
-    clip_params: Params,
+    frozen: Params,
     task: RPOTask,
     images: jax.Array,
     text_x: Optional[jax.Array] = None,
@@ -215,31 +258,30 @@ def rpo_logits(
     Pass a precomputed ``text_f`` for evaluation (text tower runs once per
     task, not once per batch — the TPU eval fast path).
     """
+    frozen = _as_frozen(frozen, task)
     if text_f is None:
-        if text_x is None:
-            text_x = precompute_text_x(clip_params, task)
-        text_f = encode_text_with_prompts(prompts, clip_params, task, text_x)
-    img_f = encode_image_with_prompts(prompts, clip_params, task, images)
+        text_f = encode_text_with_prompts(prompts, frozen, task, text_x)
+    img_f = encode_image_with_prompts(prompts, frozen, task, images)
 
     text_f = text_f.astype(jnp.float32)
     img_f = img_f.astype(jnp.float32)
     text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
     img_f = img_f / jnp.linalg.norm(img_f, axis=-1, keepdims=True)
-    scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+    scale = jnp.exp(frozen["clip"]["logit_scale"].astype(jnp.float32))
     # mean over K of per-pair cosine logits == einsum / K
     return scale * jnp.einsum("bke,cke->bc", img_f, text_f) / task.K
 
 
 def rpo_loss(
     prompts: Params,
-    clip_params: Params,
+    frozen: Params,
     task: RPOTask,
     images: jax.Array,
     labels: jax.Array,
     text_x: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Cross-entropy (rpo.py:229-230); returns (loss, logits)."""
-    logits = rpo_logits(prompts, clip_params, task, images, text_x=text_x)
+    logits = rpo_logits(prompts, frozen, task, images, text_x=text_x)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
     return loss, logits

@@ -35,14 +35,14 @@ class RPO(CLIPMethodTrainer):
             jax.random.PRNGKey(seed), self.clip_params, self.clip_cfg, K
         )
 
-        frozen, task = self.clip_params, self.task
+        task = self.task
         normalize = self._normalize
-        text_x = core.precompute_text_x(frozen, task)
+        self._frozen = core.make_frozen(self.clip_params, task)
 
-        def train_step(params, opt_state, images_u8, labels, mask, lr):
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
             def loss_fn(p):
                 imgs = normalize(images_u8)
-                logits = core.rpo_logits(p, frozen, task, imgs, text_x=text_x)
+                logits = core.rpo_logits(p, frozen, task, imgs)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                 return jnp.sum(nll * mask) / jnp.sum(mask), logits
@@ -56,10 +56,10 @@ class RPO(CLIPMethodTrainer):
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
             return params, opt_state, loss, acc
 
-        def text_features(params):
-            return core.encode_text_with_prompts(params, frozen, task, text_x)
+        def text_features(params, frozen):
+            return core.encode_text_with_prompts(params, frozen, task)
 
-        def eval_step(params, text_f, images_u8):
+        def eval_step(params, frozen, text_f, images_u8):
             imgs = normalize(images_u8)
             return core.rpo_logits(params, frozen, task, imgs, text_f=text_f)
 

@@ -52,12 +52,12 @@ class ZeroshotCLIP(TrainerBase):
         self._normalize = device_normalize_fn(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
         self.text_features = self._text_features_for(self._select_templates())
 
-        frozen, ccfg, normalize = self.clip_params, self.clip_cfg, self._normalize
+        ccfg, normalize = self.clip_cfg, self._normalize
 
-        def eval_step(text_f, images_u8):
-            imf = encode_image(frozen, ccfg, normalize(images_u8)).astype(jnp.float32)
+        def eval_step(clip_params, text_f, images_u8):
+            imf = encode_image(clip_params, ccfg, normalize(images_u8)).astype(jnp.float32)
             imf = imf / jnp.linalg.norm(imf, axis=-1, keepdims=True)
-            scale = jnp.exp(frozen["logit_scale"].astype(jnp.float32))
+            scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
             return scale * imf @ text_f.T
 
         self._eval_step = jax.jit(eval_step)
@@ -67,7 +67,8 @@ class ZeroshotCLIP(TrainerBase):
 
     def model_inference(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(
-            self._eval_step(self.text_features, jnp.asarray(images)), np.float32
+            self._eval_step(self.clip_params, self.text_features, jnp.asarray(images)),
+            np.float32,
         )
 
     # eval-only: nothing to checkpoint

@@ -25,6 +25,44 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
 
+# Switch for the fused Pallas attention path (see pallas_attention.py).
+# Measured on TPU v5e: ~14% faster forward/eval, slightly slower in
+# training (the custom-VJP backward recomputes attention), so trainers
+# enable it only around eval-path traces via ``pallas_attention_scope``.
+# Env RPO_TPU_PALLAS_ATTENTION: "1" force-on everywhere, "0" force-off.
+import contextlib as _contextlib
+import os as _os
+
+_ENV = _os.environ.get("RPO_TPU_PALLAS_ATTENTION", "")
+_USE_PALLAS = _ENV == "1"
+
+
+def set_pallas_attention(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = enabled
+
+
+@_contextlib.contextmanager
+def pallas_attention_scope(enabled: bool = True):
+    """Enable/disable the Pallas path for ops *traced* inside the scope
+    (the flag is read at trace time; wrap the traced function body)."""
+    global _USE_PALLAS
+    if _ENV in ("0", "1"):  # explicit env overrides scopes
+        yield
+        return
+    prev = _USE_PALLAS
+    _USE_PALLAS = enabled
+    try:
+        yield
+    finally:
+        _USE_PALLAS = prev
+
+
+def use_pallas_attention() -> bool:
+    if _ENV == "0":
+        return False
+    return _USE_PALLAS and jax.default_backend() not in ("cpu",)
+
 
 def dot_product_attention(
     q: jax.Array,
@@ -37,6 +75,10 @@ def dot_product_attention(
     q, k, v: (B, H, L, Dh).  bias: broadcastable to (B, H, Lq, Lk), float32
     additive.  Returns (B, H, Lq, Dh) in v.dtype.
     """
+    if bias is not None and use_pallas_attention():
+        from rpo_tpu.ops.pallas_attention import pallas_attention
+
+        return pallas_attention(q, k, v, bias)
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     logits = jnp.einsum(

@@ -34,25 +34,32 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_train_step(train_step, mesh: Mesh, donate: bool = True):
-    """Compile a train_step(params, opt_state, images, labels, mask, lr)
-    for data-parallel execution: batch args sharded, state replicated.
-    Outputs (state pytrees + scalar metrics) are replicated — GSPMD
-    inserts the prompt-grad all-reduce."""
+    """Compile a train_step(params, opt_state, frozen, images, labels,
+    mask, lr) for data-parallel execution: batch args sharded, trainable
+    state and the frozen backbone replicated.  Outputs (state pytrees +
+    scalar metrics) are replicated — GSPMD inserts the prompt-grad
+    all-reduce.
+
+    The frozen backbone is an explicit ARGUMENT, never a closure: jax
+    embeds closed-over arrays into the HLO as literal constants, which
+    for a 300MB CLIP pytree produced ~1GB executables and 200-350s
+    compiles (measured) vs seconds when passed as a parameter.
+    """
     rep, shard = replicated(mesh), batch_sharded(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(rep, rep, shard, shard, shard, rep),
+        in_shardings=(rep, rep, rep, shard, shard, shard, rep),
         out_shardings=rep,  # pytree prefix: replicate every output
         donate_argnums=(0, 1) if donate else (),
     )
 
 
 def shard_eval_step(eval_step, mesh: Mesh):
-    """eval_step(prompts, text_f, images) -> logits, batch-sharded."""
+    """eval_step(params, frozen, text_f, images) -> logits, batch-sharded."""
     rep, shard = replicated(mesh), batch_sharded(mesh)
     return jax.jit(
         eval_step,
-        in_shardings=(rep, rep, shard),
+        in_shardings=(rep, rep, rep, shard),
         out_shardings=shard,
     )
 

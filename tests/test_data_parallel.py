@@ -25,11 +25,11 @@ def setup():
     params = init_clip(jax.random.PRNGKey(0), cfg)
     task = core.make_task(cfg, ["dog", "cat", "plane", "boat"], "a photo of a _.", K=2)
     prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, 2)
-    text_x = core.precompute_text_x(params, task)
+    frozen = core.make_frozen(params, task)
 
-    def train_step(prompts, opt_state, images, labels, mask, lr):
+    def train_step(prompts, opt_state, frozen, images, labels, mask, lr):
         def loss_fn(p):
-            logits = core.rpo_logits(p, params, task, images, text_x=text_x)
+            logits = core.rpo_logits(p, frozen, task, images)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
             return jnp.sum(nll * mask) / jnp.sum(mask)
@@ -38,11 +38,11 @@ def setup():
         prompts, opt_state = sgd_update(prompts, grads, opt_state, lr)
         return prompts, opt_state, loss
 
-    return cfg, params, task, prompts, train_step
+    return cfg, params, task, prompts, frozen, train_step
 
 
 def test_dp_matches_single_device(setup):
-    cfg, params, task, prompts0, train_step = setup
+    cfg, params, task, prompts0, frozen, train_step = setup
     rng = np.random.RandomState(0)
     B = pad_multiple(12, 8)  # 16: includes padding rows
     images = jnp.asarray(rng.randn(B, 32, 32, 3), jnp.float32)
@@ -56,8 +56,8 @@ def test_dp_matches_single_device(setup):
     p_dp, o_dp = prompts0, sgd_init(prompts0)
     p_sd, o_sd = prompts0, sgd_init(prompts0)
     for i in range(3):
-        p_dp, o_dp, loss_dp = dp_step(p_dp, o_dp, images, labels, mask, jnp.float32(0.05))
-        p_sd, o_sd, loss_sd = single_step(p_sd, o_sd, images, labels, mask, jnp.float32(0.05))
+        p_dp, o_dp, loss_dp = dp_step(p_dp, o_dp, frozen, images, labels, mask, jnp.float32(0.05))
+        p_sd, o_sd, loss_sd = single_step(p_sd, o_sd, frozen, images, labels, mask, jnp.float32(0.05))
         np.testing.assert_allclose(float(loss_dp), float(loss_sd), rtol=1e-5)
     for k in p_dp:
         np.testing.assert_allclose(
@@ -66,18 +66,17 @@ def test_dp_matches_single_device(setup):
 
 
 def test_dp_eval_matches(setup):
-    cfg, params, task, prompts, _ = setup
+    cfg, params, task, prompts, frozen, _ = setup
     rng = np.random.RandomState(1)
     images = jnp.asarray(rng.randn(16, 32, 32, 3), jnp.float32)
-    text_x = core.precompute_text_x(params, task)
-    text_f = core.encode_text_with_prompts(prompts, params, task, text_x)
+    text_f = core.encode_text_with_prompts(prompts, frozen, task)
 
-    def eval_step(prompts, text_f, images):
-        return core.rpo_logits(prompts, params, task, images, text_f=text_f)
+    def eval_step(prompts, frozen, text_f, images):
+        return core.rpo_logits(prompts, frozen, task, images, text_f=text_f)
 
     mesh = make_mesh()
-    dp_logits = shard_eval_step(eval_step, mesh)(prompts, text_f, images)
-    sd_logits = jax.jit(eval_step)(prompts, text_f, images)
+    dp_logits = shard_eval_step(eval_step, mesh)(prompts, frozen, text_f, images)
+    sd_logits = jax.jit(eval_step)(prompts, frozen, text_f, images)
     np.testing.assert_allclose(
         np.asarray(dp_logits), np.asarray(sd_logits), rtol=1e-5, atol=1e-5
     )
@@ -85,7 +84,7 @@ def test_dp_eval_matches(setup):
 
 def test_padded_rows_do_not_change_grads(setup):
     """Masked padding must be a no-op for the training math."""
-    cfg, params, task, prompts, train_step = setup
+    cfg, params, task, prompts, frozen, train_step = setup
     rng = np.random.RandomState(2)
     imgs = rng.randn(8, 32, 32, 3).astype(np.float32)
     labels = rng.randint(0, 4, size=8).astype(np.int32)
@@ -94,7 +93,7 @@ def test_padded_rows_do_not_change_grads(setup):
 
     # exact batch
     p1, _, l1 = jax.jit(train_step)(
-        prompts, sgd_init(prompts), jnp.asarray(imgs), jnp.asarray(labels),
+        prompts, sgd_init(prompts), frozen, jnp.asarray(imgs), jnp.asarray(labels),
         jnp.ones((8,), jnp.float32), jnp.float32(0.05),
     )
     # padded with garbage rows, masked out
@@ -102,7 +101,7 @@ def test_padded_rows_do_not_change_grads(setup):
     labels_pad = np.concatenate([labels, np.zeros((8,), np.int32)])
     mask = np.concatenate([np.ones(8), np.zeros(8)]).astype(np.float32)
     p2, _, l2 = jax.jit(train_step)(
-        prompts, sgd_init(prompts), jnp.asarray(imgs_pad), jnp.asarray(labels_pad),
+        prompts, sgd_init(prompts), frozen, jnp.asarray(imgs_pad), jnp.asarray(labels_pad),
         jnp.asarray(mask), jnp.float32(0.05),
     )
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -21,6 +21,16 @@ import jax
 if os.environ.get("RPO_TPU_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: repeated protocol runs (seeds 2..N,
+# eval-only re-runs) skip the ~30s train-step compile.
+_xla_cache = os.environ.get(
+    "RPO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/rpo_tpu/xla")
+)
+if _xla_cache and _xla_cache != "0":
+    os.makedirs(_xla_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _xla_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from rpo_tpu.engine import build_trainer, get_cfg_default, setup_logger
 
 # registry side-effect imports (reference train.py:11-32)
