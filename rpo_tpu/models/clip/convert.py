@@ -44,15 +44,34 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def infer_config(sd: Dict[str, np.ndarray]) -> CLIPConfig:
     """Infer architecture hyperparameters from state-dict shapes
     (behavioral mirror of /root/reference/clip/model.py:403-427)."""
-    if "visual.proj" not in sd:
-        raise NotImplementedError("ResNet CLIP checkpoints: see resnet.py")
+    text_width = sd["ln_final.weight"].shape[0]
+    if "visual.proj" not in sd:  # ModifiedResNet backbone
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        out_width = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        return CLIPConfig(
+            embed_dim=sd["text_projection"].shape[1],
+            image_resolution=out_width * 32,
+            vision_layers=counts,
+            vision_width=vision_width,
+            vision_patch_size=0,
+            context_length=sd["positional_embedding"].shape[0],
+            vocab_size=sd["token_embedding.weight"].shape[0],
+            text_width=text_width,
+            text_heads=text_width // 64,
+            text_layers=len(
+                {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}
+            ),
+        )
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len(
         [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
     )
     vision_patch_size = sd["visual.conv1.weight"].shape[-1]
     grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
-    text_width = sd["ln_final.weight"].shape[0]
     return CLIPConfig(
         embed_dim=sd["text_projection"].shape[1],
         image_resolution=vision_patch_size * grid,
@@ -106,6 +125,12 @@ def convert_state_dict(sd: Dict[str, Any]) -> Params:
     sd = {k: _np(v) for k, v in sd.items()}
     cfg = infer_config(sd)
 
+    if not cfg.is_vit:
+        from .resnet import convert_resnet_visual
+
+        visual = convert_resnet_visual(sd, cfg.vision_layers)
+        return _finish_convert(sd, visual, cfg)
+
     conv1 = sd["visual.conv1.weight"]  # (width, 3, P, P)
     # -> (P, P, 3, width) -> (P*P*3, width), matching patchify's (py, px, c).
     patch_embed = conv1.transpose(2, 3, 1, 0).reshape(-1, conv1.shape[0])
@@ -119,6 +144,10 @@ def convert_state_dict(sd: Dict[str, Any]) -> Params:
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": sd["visual.proj"],
     }
+    return _finish_convert(sd, visual, cfg)
+
+
+def _finish_convert(sd: Dict[str, np.ndarray], visual: Params, cfg: CLIPConfig) -> Params:
     text = {
         "token_embedding": sd["token_embedding.weight"],
         "positional_embedding": sd["positional_embedding"],
@@ -126,6 +155,7 @@ def convert_state_dict(sd: Dict[str, Any]) -> Params:
         "ln_final": _ln(sd, "ln_final"),
         "text_projection": sd["text_projection"],
     }
+    import jax
     import jax.numpy as jnp
 
     params = {
@@ -133,8 +163,6 @@ def convert_state_dict(sd: Dict[str, Any]) -> Params:
         "text": text,
         "logit_scale": sd["logit_scale"].reshape(()),
     }
-    import jax
-
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
 
 

@@ -41,7 +41,9 @@ class CLIPConfig:
 
     @property
     def vision_heads(self) -> int:
-        return self.vision_width // 64
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
 
     @property
     def grid_size(self) -> int:
@@ -58,6 +60,14 @@ class CLIPConfig:
 
 VIT_B16 = CLIPConfig()
 VIT_B32 = dataclasses.replace(VIT_B16, vision_patch_size=32)
+RN50 = CLIPConfig(
+    embed_dim=1024, vision_layers=(3, 4, 6, 3), vision_width=64,
+    vision_patch_size=0,
+)
+RN101 = CLIPConfig(
+    embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
+    vision_patch_size=0,
+)
 # Test-size model: full structure, tiny dims (vision_width must be a
 # multiple of 64 because vision_heads = width // 64, model.py:276).
 TINY = CLIPConfig(
@@ -73,7 +83,13 @@ TINY = CLIPConfig(
     text_layers=2,
 )
 
-ARCHS = {"ViT-B/16": VIT_B16, "ViT-B/32": VIT_B32, "TINY": TINY}
+ARCHS = {
+    "ViT-B/16": VIT_B16,
+    "ViT-B/32": VIT_B32,
+    "RN50": RN50,
+    "RN101": RN101,
+    "TINY": TINY,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -113,14 +129,29 @@ def _init_block_stack(key, n_layers: int, width: int, dtype) -> Params:
 
 def init_clip(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     """Random CLIP params with the reference init distributions."""
-    if not cfg.is_vit:
-        raise NotImplementedError("ResNet visual tower: see resnet.py")
     kv, kt, kc, kp, ktok, kpos, ktxt = jax.random.split(key, 7)
     vw, tw = cfg.vision_width, cfg.text_width
     scale = vw ** -0.5
 
     def n(k, shape, std):
         return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    if not cfg.is_vit:
+        from .resnet import init_resnet_visual
+
+        visual = init_resnet_visual(kv, cfg, dtype)
+        text = {
+            "token_embedding": n(ktok, (cfg.vocab_size, tw), 0.02),
+            "positional_embedding": n(kpos, (cfg.context_length, tw), 0.01),
+            "blocks": _init_block_stack(kt, cfg.text_layers, tw, dtype),
+            "ln_final": {"scale": jnp.ones((tw,), dtype), "bias": jnp.zeros((tw,), dtype)},
+            "text_projection": n(ktxt, (tw, cfg.embed_dim), tw ** -0.5),
+        }
+        return {
+            "visual": visual,
+            "text": text,
+            "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
+        }
 
     visual = {
         # patch embedding stored matmul-ready: (P*P*3, width)
@@ -213,7 +244,12 @@ def vision_transformer_run(
 def encode_image(
     params: Params, cfg: CLIPConfig, images: jax.Array, remat: bool = False
 ) -> jax.Array:
-    """Standard CLIP image features (B, embed_dim) — CLS head (model.py:227-244)."""
+    """Standard CLIP image features (B, embed_dim) — CLS head (model.py:227-244),
+    or the ModifiedResNet attention-pool head for RN backbones."""
+    if not cfg.is_vit:
+        from .resnet import resnet_encode_image
+
+        return resnet_encode_image(params, cfg, images)
     v = params["visual"]
     x = vision_embed(v, cfg, images)
     x = vision_transformer_run(v, cfg, x, remat=remat)
