@@ -53,9 +53,13 @@ class BatchLoader:
         return len(self.items)
 
     def _make_batch(self, batch_items: List[Datum]) -> Dict[str, np.ndarray]:
-        imgs = list(
-            self.pool.map(lambda it: self.transform(it.impath, self.train), batch_items)
-        )
+        imgs = self._native_eval_batch(batch_items)
+        if imgs is None:
+            imgs = list(
+                self.pool.map(
+                    lambda it: self.transform(it.impath, self.train), batch_items
+                )
+            )
         B = self.pad_to
         n = len(batch_items)
         img0 = imgs[0]
@@ -67,6 +71,44 @@ class BatchLoader:
             out_lab[i] = it.label
             out_mask[i] = 1.0
         return {"img": out_img, "label": out_lab, "mask": out_mask, "n": n}
+
+    def _native_eval_batch(self, batch_items: List[Datum]):
+        """Whole-batch decode+resize+crop in the C++ thread pool (eval path,
+        all-JPEG batches): bypasses per-image Python dispatch and the GIL."""
+        if self.train:
+            return None
+        tp = self.transform
+        if not hasattr(tp, "size") or getattr(tp, "interpolation", "") != "bicubic":
+            return None
+        if not all(
+            it.impath.lower().endswith((".jpg", ".jpeg")) for it in batch_items
+        ):
+            return None
+        from rpo_tpu._native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        import ctypes
+
+        n = len(batch_items)
+        size = tp.size
+        out = np.empty((n, size, size, 3), np.uint8)
+        ok = np.zeros((n,), np.uint8)
+        arr = (ctypes.c_char_p * n)(*[it.impath.encode() for it in batch_items])
+        lib.rpo_eval_preprocess_batch(
+            arr, n, size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            max(1, self.pool._max_workers),
+        )
+        imgs = []
+        for i, it in enumerate(batch_items):
+            if ok[i]:
+                imgs.append(out[i])
+            else:  # corrupt/non-JPEG content: PIL fallback per item
+                imgs.append(self.transform(it.impath, False))
+        return imgs
 
     def _order(self) -> List[int]:
         order = list(range(len(self.items)))

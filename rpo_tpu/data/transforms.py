@@ -75,15 +75,14 @@ def center_crop(img, size: int):
     return img.crop((left, top, left + size, top + size))
 
 
-def random_resized_crop(
-    img,
-    size: int,
+def sample_rrc_box(
+    w: int,
+    h: int,
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
-    interpolation: str = "bicubic",
-):
-    """torchvision RandomResizedCrop sampling procedure (host random RNG)."""
-    w, h = img.size
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling (host random RNG).
+    Returns (left, top, crop_w, crop_h)."""
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -94,9 +93,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             left = random.randint(0, w - cw)
             top = random.randint(0, h - ch)
-            return img.resize(
-                (size, size), _interp(interpolation), box=(left, top, left + cw, top + ch)
-            )
+            return left, top, cw, ch
     # fallback: center crop to in-range aspect
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -105,7 +102,19 @@ def random_resized_crop(
         ch, cw = h, int(round(h * ratio[1]))
     else:
         cw, ch = w, h
-    left, top = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def random_resized_crop(
+    img,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    interpolation: str = "bicubic",
+):
+    """torchvision RandomResizedCrop (PIL path)."""
+    w, h = img.size
+    left, top, cw, ch = sample_rrc_box(w, h, scale, ratio)
     return img.resize(
         (size, size), _interp(interpolation), box=(left, top, left + cw, top + ch)
     )
@@ -131,6 +140,9 @@ class TransformPipeline:
         self.std = np.asarray(cfg_input.PIXEL_STD, np.float32)
 
     def __call__(self, impath: str, train: bool) -> np.ndarray:
+        native = self._native_path(impath, train)
+        if native is not None:
+            return native
         img = load_image(impath)
         if train and self.use_rrc:
             img = random_resized_crop(
@@ -142,6 +154,38 @@ class TransformPipeline:
         if train and self.use_flip and random.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, dtype=np.uint8)
+
+    def _native_path(self, impath: str, train: bool) -> np.ndarray | None:
+        """C++ decode+resize+crop fast path (JPEG only, bicubic).  RNG draws
+        happen here in Python so seeded augmentation streams are identical
+        to the PIL path; the native library only executes the plan."""
+        if self.interpolation != "bicubic" or not impath.lower().endswith(
+            (".jpg", ".jpeg")
+        ):
+            return None
+        from rpo_tpu._native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        import ctypes
+
+        path_b = impath.encode()
+        out = np.empty((self.size, self.size, 3), dtype=np.uint8)
+        out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if train and self.use_rrc:
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            if lib.rpo_image_size(path_b, ctypes.byref(w), ctypes.byref(h)) != 0:
+                return None
+            left, top, cw, ch = sample_rrc_box(w.value, h.value, self.scale)
+            flip = 1 if (self.use_flip and random.random() < 0.5) else 0
+            rc = lib.rpo_train_preprocess(
+                path_b, left, top, cw, ch, flip, self.size, out_ptr
+            )
+        else:
+            rc = lib.rpo_eval_preprocess(path_b, self.size, out_ptr)
+        return out if rc == 0 else None
 
 
 def device_normalize_fn(mean: Iterable[float], std: Iterable[float]):

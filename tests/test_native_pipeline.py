@@ -1,0 +1,122 @@
+"""Native C++ image pipeline vs the PIL reference path."""
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rpo_tpu._native import get_lib
+from rpo_tpu.data.transforms import TransformPipeline, center_crop, resize_shorter
+
+
+class _Input:
+    SIZE = (224, 224)
+    INTERPOLATION = "bicubic"
+    RRCROP_SCALE = (0.08, 1.0)
+    TRANSFORMS = ("random_resized_crop", "random_flip", "normalize")
+    PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+    PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no g++/libjpeg)")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def jpeg_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (w, h) in enumerate([(640, 480), (300, 500), (224, 224), (100, 80)]):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        # smooth it so JPEG artifacts don't dominate the comparison
+        arr = (arr.astype(np.float32) * 0.3 + 128 * 0.7).astype(np.uint8)
+        p = str(d / f"img_{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_eval_preprocess_matches_pil(lib, jpeg_files):
+    import ctypes
+
+    for p in jpeg_files:
+        out = np.empty((224, 224, 3), np.uint8)
+        rc = lib.rpo_eval_preprocess(
+            p.encode(), 224, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        assert rc == 0
+        img = Image.open(p).convert("RGB")
+        ref = np.asarray(center_crop(resize_shorter(img, 224, "bicubic"), 224))
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        # we replicate PIL's fixed-point scheme exactly
+        assert int(diff.max()) <= 1, int(diff.max())
+
+
+def test_pipeline_uses_native_and_matches(jpeg_files):
+    tp = TransformPipeline(_Input)
+    for p in jpeg_files:
+        out = tp(p, train=False)
+        assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+        img = Image.open(p).convert("RGB")
+        ref = np.asarray(center_crop(resize_shorter(img, 224, "bicubic"), 224))
+        assert int(np.abs(out.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_train_path_deterministic_across_backends(lib, jpeg_files):
+    """Same seed -> same crop/flip plan on native and PIL paths (the RNG
+    draws live in Python for both)."""
+    tp = TransformPipeline(_Input)
+    p = jpeg_files[0]
+
+    random.seed(123)
+    native_out = tp(p, train=True)
+
+    os.environ["RPO_TPU_NO_NATIVE"] = "1"
+    try:
+        import rpo_tpu._native as nat
+
+        nat._lib = None  # force re-decision
+        random.seed(123)
+        pil_out = tp(p, train=True)
+    finally:
+        del os.environ["RPO_TPU_NO_NATIVE"]
+        nat._lib = None
+    assert native_out.shape == pil_out.shape
+    diff = np.abs(native_out.astype(int) - pil_out.astype(int))
+    assert float(diff.mean()) < 2.0, float(diff.mean())
+
+
+def test_batch_api(lib, jpeg_files):
+    import ctypes
+
+    n = len(jpeg_files)
+    out = np.empty((n, 224, 224, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in jpeg_files])
+    successes = lib.rpo_eval_preprocess_batch(
+        arr, n, 224,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        4,
+    )
+    assert successes == n
+    assert ok.all()
+    assert out[0].std() > 1  # actually wrote pixels
+
+
+def test_bad_file_falls_back(lib, tmp_path):
+    bad = tmp_path / "notajpeg.jpg"
+    bad.write_bytes(b"this is not a jpeg")
+    import ctypes
+
+    out = np.empty((224, 224, 3), np.uint8)
+    rc = lib.rpo_eval_preprocess(
+        str(bad).encode(), 224, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    assert rc == -1  # python caller falls back to PIL
