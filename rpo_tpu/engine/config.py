@@ -221,7 +221,18 @@ def get_cfg_default() -> CfgNode:
                 "WARMUP_MIN_LR": 1e-5,
                 "WARMUP_RECOUNT": True,
             },
-            "TRAIN": {"CHECKPOINT_FREQ": 0, "PRINT_FREQ": 10, "COUNT_ITER": "train_x"},
+            "TRAIN": {
+                "CHECKPOINT_FREQ": 0,
+                "PRINT_FREQ": 10,
+                "COUNT_ITER": "train_x",
+                # TPU-native observability (SURVEY.md §5): jax.profiler
+                # trace capture for the given epoch into PROFILE_DIR, and
+                # a NaN detector equivalent to the reference's
+                # torch.autograd.set_detect_anomaly (train.py:287-288).
+                "PROFILE_DIR": "",
+                "PROFILE_EPOCH": 1,
+                "DEBUG_NANS": False,
+            },
             "TEST": {
                 "EVALUATOR": "Classification",
                 "PER_CLASS_RESULT": False,

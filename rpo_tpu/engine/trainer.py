@@ -193,6 +193,14 @@ class TrainerBase:
         self.start_epoch = self.resume_model_if_exist(self.cfg.RESUME)
         self.time_start = time.time()
         self.current_lr = lr_at_epoch(self.cfg.OPTIM, self.start_epoch)
+        if bool(self.cfg.TRAIN.DEBUG_NANS):
+            # NaN detector, equivalent to the reference's
+            # torch.autograd.set_detect_anomaly(True) (rpo.py:287-288):
+            # any NaN produced under jit raises with a located stack.
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
+            print("NaN debugging enabled (jax_debug_nans)")
 
     def train(self) -> None:
         self.before_train()
@@ -202,6 +210,25 @@ class TrainerBase:
         self.after_train()
 
     def run_epoch(self) -> None:
+        profile_dir = str(self.cfg.TRAIN.PROFILE_DIR)
+        profiling = bool(profile_dir) and (
+            self.epoch + 1 == int(self.cfg.TRAIN.PROFILE_EPOCH)
+        )
+        if profiling:
+            import jax
+
+            os.makedirs(profile_dir, exist_ok=True)
+            print(f"Capturing jax.profiler trace for epoch {self.epoch + 1} -> {profile_dir}")
+            jax.profiler.start_trace(profile_dir)
+        try:
+            self._run_epoch_inner()
+        finally:
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+
+    def _run_epoch_inner(self) -> None:
         meter = MetricMeter()
         loader = self.dm.train_loader_x
         self.num_batches = len(loader)
