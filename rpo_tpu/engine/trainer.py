@@ -46,6 +46,27 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _load_checkpoint_file(path: str) -> Dict[str, Any]:
+    """Load a checkpoint: our pickled numpy payloads, or a torch-format
+    checkpoint from the reference framework (e.g. the released rpo.zip
+    prompt checkpoints, rpo.py:333-336) — tensors convert to numpy."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):  # torch >=1.6 save format
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {
+            k: v.detach().cpu().float().numpy() if hasattr(v, "detach") else v
+            for k, v in ckpt["state_dict"].items()
+        }
+        out = dict(ckpt)
+        out["state_dict"] = sd
+        return out
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 class MetricMeter:
     def __init__(self):
         self.meters: Dict[str, List[float]] = {}
@@ -156,8 +177,7 @@ class TrainerBase:
             model_path = os.path.join(directory, name, model_file)
             if not os.path.exists(model_path):
                 raise FileNotFoundError(f'Model not found at "{model_path}"')
-            with open(model_path, "rb") as f:
-                checkpoint = pickle.load(f)
+            checkpoint = _load_checkpoint_file(model_path)
             state_dict = checkpoint["state_dict"]
             # reference drops stale class-dependent buffers; ours never
             # saves them, but tolerate their presence for compat

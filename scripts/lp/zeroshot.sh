@@ -1,0 +1,13 @@
+#!/bin/bash
+# usage: sh scripts/coop/zeroshot.sh <dataset> <cfg>
+TRAINER=ZeroshotCLIP
+DATASET=$1
+CFG=$2  # rn50, rn101, vit_b32 or vit_b16
+
+python train.py \
+--root ${DATA} \
+--trainer ${TRAINER} \
+--dataset-config-file configs/datasets/${DATASET}.yaml \
+--config-file configs/trainers/CoOp/${CFG}.yaml \
+--output-dir output/${TRAINER}/${CFG}/${DATASET} \
+--eval-only
