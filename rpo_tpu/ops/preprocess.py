@@ -1,0 +1,119 @@
+"""Device-side image preprocessing for TPU.
+
+The division of labor (SURVEY.md §7 step 6): variable-size decode +
+resize happen host-side (PIL or the native C++ pipeline); THIS module
+covers the device-side pieces:
+
+  - ``device_normalize_fn`` (in data/transforms.py): uint8 -> normalized
+    float, fused by XLA into the patch-embed matmul — preprocessing costs
+    zero extra HBM round-trips in every train/eval step.
+  - ``resize_bicubic``: PIL-compatible antialiased bicubic resize as two
+    separable weight-matrix contractions — resize as MXU matmuls.  For
+    fixed-size sources (e.g. EuroSAT 64x64, or a decode-once cache) the
+    whole resize->crop->normalize chain runs on device under jit.
+  - ``batch_crop_flip_normalize``: per-image dynamic crop + horizontal
+    flip + normalize (train-path augmentation executed on device; the
+    random plan — offsets/flips — is sampled host-side to preserve the
+    reference's RNG discipline).
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    x = np.abs(x)
+    out = np.where(x < 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0, 0.0)
+    out = np.where((x >= 1.0) & (x < 2.0), (((x - 5.0) * x + 8.0) * x - 4.0) * a, out)
+    return out
+
+
+def resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) PIL-style antialiased bicubic weight matrix."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    W = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(in_size, int(center + support + 0.5))
+        xs = np.arange(xmin, xmax)
+        w = _cubic((xs - center + 0.5) / filterscale)
+        W[i, xmin:xmax] = w / w.sum()
+    return W
+
+
+def resize_bicubic(
+    images: jax.Array, out_h: int, out_w: int, quantize: bool = True
+) -> jax.Array:
+    """Batched separable bicubic resize on device: (B, H, W, C) float ->
+    (B, out_h, out_w, C).  Two einsums -> two MXU contractions.
+
+    ``quantize`` rounds+clamps to uint8 range after each pass like PIL
+    does (clips the cubic overshoot between passes — required for close
+    agreement with the host path on high-frequency content)."""
+    B, H, W, C = images.shape
+    wv = jnp.asarray(resize_weights(H, out_h))
+    wh = jnp.asarray(resize_weights(W, out_w))
+    x = images.astype(jnp.float32)
+    # PIL order: horizontal pass first, then vertical
+    x = jnp.einsum("pw,bhwc->bhpc", wh, x)
+    if quantize:
+        x = jnp.clip(jnp.round(x), 0, 255)
+    x = jnp.einsum("oh,bhpc->bopc", wv, x)
+    if quantize:
+        x = jnp.clip(jnp.round(x), 0, 255)
+    return x
+
+
+def device_eval_preprocess(
+    images_u8: jax.Array,
+    size: int,
+    mean: Iterable[float],
+    std: Iterable[float],
+) -> jax.Array:
+    """Fixed-size eval path fully on device: resize shorter side to
+    ``size`` (aspect preserved), center-crop, normalize.  Requires a
+    uniform input shape (B, H, W, 3) uint8."""
+    B, H, W, _ = images_u8.shape
+    if W <= H:
+        rw, rh = size, (int(size * H / W) if H != W else size)
+    else:
+        rh, rw = size, int(size * W / H)
+    x = resize_bicubic(images_u8.astype(jnp.float32), rh, rw)
+    top = int(round((rh - size) / 2.0))
+    left = int(round((rw - size) / 2.0))
+    x = x[:, top : top + size, left : left + size, :]
+    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
+    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+    return (x - mean_a) / std_a
+
+
+def batch_crop_flip_normalize(
+    images_u8: jax.Array,
+    crop_tops: jax.Array,
+    crop_lefts: jax.Array,
+    flips: jax.Array,
+    size: int,
+    mean: Iterable[float],
+    std: Iterable[float],
+) -> jax.Array:
+    """Per-image dynamic (size x size) crop + optional horizontal flip +
+    normalize, vmapped over the batch; offsets/flips are host-sampled."""
+    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
+    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+
+    def one(img, top, left, flip):
+        crop = jax.lax.dynamic_slice(
+            img, (top, left, jnp.int32(0)), (size, size, 3)
+        ).astype(jnp.float32)
+        crop = jax.lax.cond(flip > 0, lambda c: c[:, ::-1, :], lambda c: c, crop)
+        return (crop - mean_a) / std_a
+
+    return jax.vmap(one)(images_u8, crop_tops, crop_lefts, flips)
