@@ -55,11 +55,21 @@ class BatchLoader:
     def _make_batch(self, batch_items: List[Datum]) -> Dict[str, np.ndarray]:
         imgs = self._native_eval_batch(batch_items)
         if imgs is None:
-            imgs = list(
-                self.pool.map(
-                    lambda it: self.transform(it.impath, self.train), batch_items
-                )
-            )
+            # Augmentation randomness is drawn HERE, sequentially, so that
+            # seeded runs are deterministic; the pool only decodes/resizes.
+            has_plan = hasattr(self.transform, "make_plan")
+            plans = [
+                self.transform.make_plan(it.impath, self.train) if has_plan else None
+                for it in batch_items
+            ]
+
+            def apply(item_plan):
+                item, plan = item_plan
+                if has_plan:
+                    return self.transform(item.impath, self.train, plan=plan)
+                return self.transform(item.impath, self.train)
+
+            imgs = list(self.pool.map(apply, zip(batch_items, plans)))
         B = self.pad_to
         n = len(batch_items)
         img0 = imgs[0]

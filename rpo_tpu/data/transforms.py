@@ -44,8 +44,11 @@ def load_image(impath: str) -> "Image.Image":
 
 
 def synth_image(uri: str, size: int = 224) -> "Image.Image":
-    """Deterministic pseudo-image for tests/benchmarks: synthetic://<label>/<idx>."""
-    seed = abs(hash(uri)) % (2 ** 31)
+    """Deterministic pseudo-image for tests/benchmarks: synthetic://<label>/<idx>.
+    Uses a stable hash (Python's ``hash`` is salted per process)."""
+    import zlib
+
+    seed = zlib.crc32(uri.encode()) % (2 ** 31)
     rng = np.random.RandomState(seed)
     arr = rng.randint(0, 256, size=(size, size, 3), dtype=np.uint8)
     return Image.fromarray(arr)
@@ -139,26 +142,63 @@ class TransformPipeline:
         self.mean = np.asarray(cfg_input.PIXEL_MEAN, np.float32)
         self.std = np.asarray(cfg_input.PIXEL_STD, np.float32)
 
-    def __call__(self, impath: str, train: bool) -> np.ndarray:
-        native = self._native_path(impath, train)
+    def image_size(self, impath: str) -> Tuple[int, int]:
+        """(width, height) from the header only (no full decode)."""
+        if impath.startswith("synthetic://"):
+            return (224, 224)
+        if impath.lower().endswith((".jpg", ".jpeg")):
+            from rpo_tpu._native import get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                import ctypes
+
+                w = ctypes.c_int()
+                h = ctypes.c_int()
+                if lib.rpo_image_size(impath.encode(), ctypes.byref(w), ctypes.byref(h)) == 0:
+                    return (w.value, h.value)
+        with Image.open(impath) as img:
+            return img.size
+
+    def make_plan(self, impath: str, train: bool):
+        """Draw ALL augmentation randomness for one image, sequentially.
+
+        Must be called from a single thread in deterministic item order:
+        this is what keeps seeded runs reproducible even though the
+        decode/resize work itself fans out to a thread pool (or the C++
+        pipeline) in arbitrary order.
+        """
+        if not train or not self.use_rrc:
+            return None
+        w, h = self.image_size(impath)
+        box = sample_rrc_box(w, h, self.scale)
+        flip = bool(self.use_flip and random.random() < 0.5)
+        return (box, flip)
+
+    def __call__(self, impath: str, train: bool, plan=None) -> np.ndarray:
+        if train and self.use_rrc and plan is None:
+            plan = self.make_plan(impath, train)
+        native = self._native_path(impath, train, plan)
         if native is not None:
             return native
         img = load_image(impath)
         if train and self.use_rrc:
-            img = random_resized_crop(
-                img, self.size, scale=self.scale, interpolation=self.interpolation
+            (left, top, cw, ch), flip = plan
+            img = img.resize(
+                (self.size, self.size),
+                _interp(self.interpolation),
+                box=(left, top, left + cw, top + ch),
             )
+            if flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
         else:
             img = resize_shorter(img, self.size, self.interpolation)
             img = center_crop(img, self.size)
-        if train and self.use_flip and random.random() < 0.5:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, dtype=np.uint8)
 
-    def _native_path(self, impath: str, train: bool) -> np.ndarray | None:
-        """C++ decode+resize+crop fast path (JPEG only, bicubic).  RNG draws
-        happen here in Python so seeded augmentation streams are identical
-        to the PIL path; the native library only executes the plan."""
+    def _native_path(self, impath: str, train: bool, plan) -> np.ndarray | None:
+        """C++ decode+resize+crop fast path (JPEG only, bicubic).  The
+        randomness lives in ``plan`` — the native library only executes."""
         if self.interpolation != "bicubic" or not impath.lower().endswith(
             (".jpg", ".jpeg")
         ):
@@ -174,14 +214,9 @@ class TransformPipeline:
         out = np.empty((self.size, self.size, 3), dtype=np.uint8)
         out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         if train and self.use_rrc:
-            w = ctypes.c_int()
-            h = ctypes.c_int()
-            if lib.rpo_image_size(path_b, ctypes.byref(w), ctypes.byref(h)) != 0:
-                return None
-            left, top, cw, ch = sample_rrc_box(w.value, h.value, self.scale)
-            flip = 1 if (self.use_flip and random.random() < 0.5) else 0
+            (left, top, cw, ch), flip = plan
             rc = lib.rpo_train_preprocess(
-                path_b, left, top, cw, ch, flip, self.size, out_ptr
+                path_b, left, top, cw, ch, int(flip), self.size, out_ptr
             )
         else:
             rc = lib.rpo_eval_preprocess(path_b, self.size, out_ptr)

@@ -232,6 +232,11 @@ def get_cfg_default() -> CfgNode:
                 "PROFILE_DIR": "",
                 "PROFILE_EPOCH": 1,
                 "DEBUG_NANS": False,
+                # Fuse N optimizer steps into one jitted dispatch
+                # (lax.scan over the batch-group axis).  Numerically
+                # identical sequential SGD; amortizes per-step host->device
+                # round trips (dominant on remote-attached TPUs).  1 = off.
+                "STEPS_PER_DISPATCH": 8,
             },
             "TEST": {
                 "EVALUATOR": "Classification",

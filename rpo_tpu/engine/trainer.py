@@ -68,17 +68,56 @@ def _load_checkpoint_file(path: str) -> Dict[str, Any]:
 
 
 class MetricMeter:
-    def __init__(self):
-        self.meters: Dict[str, List[float]] = {}
+    """Accumulates per-batch metrics WITHOUT forcing device->host syncs:
+    values may be device scalars; conversion happens lazily at print time
+    (one sync per PRINT_FREQ batches instead of per step — device->host
+    round trips are the per-step bottleneck on remote-attached TPUs)."""
 
-    def update(self, summary: Dict[str, float]) -> None:
+    def __init__(self):
+        self.meters: Dict[str, List] = {}
+
+    def update(self, summary: Dict) -> None:
         for k, v in summary.items():
-            self.meters.setdefault(k, []).append(float(v))
+            self.meters.setdefault(k, []).append(v)
 
     def __str__(self) -> str:
-        return " ".join(
-            f"{k} {vals[-1]:.4f} ({np.mean(vals):.4f})" for k, vals in self.meters.items()
-        )
+        parts = []
+        for k, vals in self.meters.items():
+            floats = [float(v) for v in vals]
+            self.meters[k] = floats  # cache conversions
+            parts.append(f"{k} {floats[-1]:.4f} ({np.mean(floats):.4f})")
+        return " ".join(parts)
+
+
+def device_prefetch(iterator, depth: int = 2):
+    """Yield batches with img/label/mask already transferred to device,
+    keeping ``depth`` transfers in flight: overlaps host->device copies
+    with the running step (transfers dominate per-step cost when the TPU
+    is remote-attached)."""
+    import collections
+
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def put(batch):
+        out = dict(batch)
+        for key in ("img", "label", "mask"):
+            out[key] = jnp.asarray(batch[key])
+        return out
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
 
 
 class TrainerBase:
@@ -253,15 +292,20 @@ class TrainerBase:
         loader = self.dm.train_loader_x
         self.num_batches = len(loader)
         print_freq = int(self.cfg.TRAIN.PRINT_FREQ)
+        group_size = max(1, int(self.cfg.TRAIN.STEPS_PER_DISPATCH))
+        use_multi = group_size > 1 and hasattr(self, "forward_backward_multi")
         t_start = time.time()
         data_t, batch_t = [], []
         t0 = time.time()
-        for self.batch_idx, batch in enumerate(loader):
-            data_t.append(time.time() - t0)
-            summary = self.forward_backward(batch)
-            batch_t.append(time.time() - t0 - data_t[-1])
+
+        def handle(summary, bt=None):
+            batch_t.append(
+                bt if bt is not None else time.time() - t0 - data_t[-1]
+            )
             meter.update(summary)
-            if (self.batch_idx + 1) % print_freq == 0 or self.batch_idx + 1 == self.num_batches:
+            if (
+                self.batch_idx + 1
+            ) % print_freq == 0 or self.batch_idx + 1 == self.num_batches:
                 nb_remain = (self.max_epoch - self.epoch - 1) * self.num_batches + (
                     self.num_batches - self.batch_idx - 1
                 )
@@ -278,7 +322,37 @@ class TrainerBase:
                 )
             if self.batch_idx + 1 == self.num_batches:
                 self.update_lr()
-            t0 = time.time()
+
+        if use_multi:
+            self.batch_idx = -1
+            group = []
+
+            def flush():
+                nonlocal group, t0
+                if not group:
+                    return
+                load_elapsed = time.time() - t0
+                summaries = self.forward_backward_multi(group)
+                step_elapsed = time.time() - t0 - load_elapsed
+                n = len(group)
+                for summary in summaries:
+                    self.batch_idx += 1
+                    data_t.append(load_elapsed / n)
+                    handle(summary, bt=step_elapsed / n)
+                group = []
+                t0 = time.time()
+
+            for batch in loader:
+                group.append(batch)
+                if len(group) == group_size:
+                    flush()
+            flush()
+        else:
+            for self.batch_idx, batch in enumerate(device_prefetch(loader)):
+                data_t.append(time.time() - t0)
+                summary = self.forward_backward(batch)
+                handle(summary)
+                t0 = time.time()
         epoch_time = time.time() - t_start
         print(f"epoch [{self.epoch + 1}/{self.max_epoch}] done in {epoch_time:.1f}s")
 

@@ -92,17 +92,41 @@ class CLIPMethodTrainer(TrainerBase):
                 with pallas_attention_scope(True):
                     return raw_text(*args)
 
+        def multi_step(params, opt_state, frozen, imgs_g, labels_g, mask_g, lr):
+            """lax.scan over a group of batches: N sequential SGD steps in
+            ONE dispatch (identical math; amortized host round trips)."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                imgs, labels, mask = batch
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, frozen, imgs, labels, mask, lr
+                )
+                return (params, opt_state), (loss, acc)
+
+            (params, opt_state), (losses, accs) = jax.lax.scan(
+                body, (params, opt_state), (imgs_g, labels_g, mask_g)
+            )
+            return params, opt_state, losses, accs
+
         n_dev = jax.device_count()
         if n_dev > 1:
-            from rpo_tpu.parallel.dp import make_mesh, shard_eval_step, shard_train_step
+            from rpo_tpu.parallel.dp import (
+                make_mesh,
+                shard_eval_step,
+                shard_multi_step,
+                shard_train_step,
+            )
 
             print(f"Multiple devices detected (n={n_dev}), data-parallel mesh over ICI")
             self.mesh = make_mesh()
             self._train_step = shard_train_step(train_step, self.mesh)
+            self._train_multi_step = shard_multi_step(multi_step, self.mesh)
             self._eval_step = shard_eval_step(eval_step, self.mesh)
         else:
             self.mesh = None
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._train_multi_step = jax.jit(multi_step, donate_argnums=(0, 1))
             self._eval_step = jax.jit(eval_step)
         self._text_features = jax.jit(text_features) if text_features else None
         self._text_f_cache = None
@@ -120,10 +144,33 @@ class CLIPMethodTrainer(TrainerBase):
             jnp.float32(self.current_lr),
         )
         self._text_f_cache = None
-        summary = {"loss": float(loss)}
+        # device scalars, NOT floats: conversion would force a
+        # device->host sync every step (MetricMeter defers it to print
+        # time — the per-step round trip dominates on tunneled TPUs)
+        summary = {"loss": loss}
         if self.log_acc:
-            summary["acc"] = 100.0 * float(acc)
+            summary["acc"] = 100.0 * acc
         return summary
+
+    def forward_backward_multi(self, batches) -> list:
+        """Run a group of batches as ONE device dispatch (lax.scan of the
+        train step) — numerically identical sequential SGD; one
+        host->device transfer and one program launch per group."""
+        imgs = jnp.asarray(np.stack([b["img"] for b in batches]))
+        labels = jnp.asarray(np.stack([b["label"] for b in batches]))
+        masks = jnp.asarray(np.stack([b["mask"] for b in batches]))
+        self.params, self.opt_state, losses, accs = self._train_multi_step(
+            self.params, self.opt_state, self._frozen,
+            imgs, labels, masks, jnp.float32(self.current_lr),
+        )
+        self._text_f_cache = None
+        out = []
+        for i in range(len(batches)):
+            summary = {"loss": losses[i]}
+            if self.log_acc:
+                summary["acc"] = 100.0 * accs[i]
+            out.append(summary)
+        return out
 
     def model_inference(self, images: np.ndarray) -> np.ndarray:
         if self._text_features is not None and self._text_f_cache is None:

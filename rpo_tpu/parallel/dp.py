@@ -54,6 +54,19 @@ def shard_train_step(train_step, mesh: Mesh, donate: bool = True):
     )
 
 
+def shard_multi_step(multi_step, mesh: Mesh, donate: bool = True):
+    """multi_step(params, opt_state, frozen, imgs[G], labels[G], mask[G],
+    lr): batch-group args sharded on the batch axis (axis 1)."""
+    rep = replicated(mesh)
+    shard_g = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi_step,
+        in_shardings=(rep, rep, rep, shard_g, shard_g, shard_g, rep),
+        out_shardings=rep,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
 def shard_eval_step(eval_step, mesh: Mesh):
     """eval_step(params, frozen, text_f, images) -> logits, batch-sharded."""
     rep, shard = replicated(mesh), batch_sharded(mesh)
