@@ -33,7 +33,18 @@ EVAL_BATCH = 100
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    cache = os.environ.get(
+        "RPO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/rpo_tpu/xla")
+    )
+    if cache and cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
 
     from rpo_tpu.data.transforms import device_normalize_fn

@@ -48,10 +48,19 @@ def meta_net_apply(p: Params, x: jax.Array) -> jax.Array:
 
 
 def cocoop_logits(
-    params: Params, clip_params, task: coop_core.CoOpTask, images: jax.Array
+    params: Params,
+    clip_params,
+    task: coop_core.CoOpTask,
+    images: jax.Array,
+    chunk: int = 0,
 ) -> jax.Array:
     """(B, n_cls) logits with image-conditioned contexts
-    (cocoop.py:144-189), vmapped over the batch."""
+    (cocoop.py:144-189), vmapped over the batch.
+
+    ``chunk`` > 0 processes the batch in image-chunks via lax.map —
+    required at eval time for large class counts (ImageNet: B x n_cls x 77
+    text-tower activations would not fit memory vmapped over B=100;
+    SURVEY.md §7 hard part #5)."""
     cfg = task.cfg
     image_features = encode_image(clip_params, cfg, images).astype(jnp.float32)
     imf = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
@@ -71,7 +80,16 @@ def cocoop_logits(
         text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
         return scale * text_f @ imf_i  # (n_cls,)
 
-    return jax.vmap(per_image)(ctx_shifted, imf)
+    B = images.shape[0]
+    if chunk <= 0 or chunk >= B:
+        return jax.vmap(per_image)(ctx_shifted, imf)
+    assert B % chunk == 0, f"batch {B} not divisible by chunk {chunk}"
+    ctx_c = ctx_shifted.reshape(B // chunk, chunk, *ctx_shifted.shape[1:])
+    imf_c = imf.reshape(B // chunk, chunk, imf.shape[-1])
+    out = jax.lax.map(
+        lambda args: jax.vmap(per_image)(args[0], args[1]), (ctx_c, imf_c)
+    )
+    return out.reshape(B, -1)
 
 
 @TRAINER_REGISTRY.register()
@@ -124,6 +142,13 @@ class CoCoOp(CLIPMethodTrainer):
             return params, opt_state, loss, acc
 
         def eval_step(params, frozen, _unused_text_f, images_u8):
-            return cocoop_logits(params, frozen["clip"], task, normalize(images_u8))
+            # chunked over images: bounds text-tower memory at large n_cls
+            B = images_u8.shape[0]
+            chunk = max(1, min(8, B))
+            while B % chunk:
+                chunk -= 1
+            return cocoop_logits(
+                params, frozen["clip"], task, normalize(images_u8), chunk=chunk
+            )
 
         self._install_steps(train_step, None, eval_step)
