@@ -65,17 +65,14 @@ def main() -> None:
     )
 
     def train_step(prompts, opt_state, frozen, images_u8, labels, mask, lr):
-        from rpo_tpu.ops.attention import pallas_attention_scope
+        def loss_fn(p):
+            imgs = normalize(images_u8)
+            logits = core.rpo_logits(p, frozen, task, imgs)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            return jnp.sum(nll * mask) / jnp.sum(mask)
 
-        with pallas_attention_scope(True):  # fused attention (fwd saves probs)
-            def loss_fn(p):
-                imgs = normalize(images_u8)
-                logits = core.rpo_logits(p, frozen, task, imgs)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                return jnp.sum(nll * mask) / jnp.sum(mask)
-
-            loss, grads = jax.value_and_grad(loss_fn)(prompts)
+        loss, grads = jax.value_and_grad(loss_fn)(prompts)
         prompts, opt_state = sgd_update(prompts, grads, opt_state, lr)
         return prompts, opt_state, loss
 
