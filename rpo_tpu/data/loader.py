@@ -34,18 +34,24 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         pad_to: Optional[int] = None,
+        drop_last: bool = False,
     ):
         self.items = list(items)
         self.transform = transform
         self.batch_size = int(batch_size)
         self.pad_to = int(pad_to) if pad_to else self.batch_size
         assert self.pad_to >= self.batch_size
+        # Dassl drops the final partial TRAIN batch (when the dataset has
+        # at least one full batch) — same step count as the reference.
+        self.drop_last = bool(drop_last) and len(self.items) >= self.batch_size
         self.train = train
         self.shuffle = shuffle
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.prefetch = prefetch
 
     def __len__(self) -> int:
+        if self.drop_last:
+            return len(self.items) // self.batch_size
         return (len(self.items) + self.batch_size - 1) // self.batch_size
 
     @property
@@ -132,6 +138,8 @@ class BatchLoader:
             [self.items[j] for j in order[i : i + self.batch_size]]
             for i in range(0, len(order), self.batch_size)
         ]
+        if self.drop_last and chunks and len(chunks[-1]) < self.batch_size:
+            chunks.pop()
         if not chunks:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -141,8 +149,10 @@ class BatchLoader:
             try:
                 for chunk in chunks:
                     q.put(self._make_batch(chunk))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # propagate to the consumer —
+                # swallowing it would silently truncate the epoch
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -150,4 +160,6 @@ class BatchLoader:
             batch = q.get()
             if batch is stop:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch

@@ -36,6 +36,7 @@ class DataManager:
             shuffle=True,
             num_workers=num_workers,
             pad_to=pad_multiple(train_bs, n_dev),
+            drop_last=True,  # Dassl train-loader semantics
         )
         self.val_loader = (
             BatchLoader(

@@ -177,9 +177,21 @@ def load_or_create_fewshot(
     preprocessed = os.path.join(split_fewshot_dir, f"shot_{num_shots}-seed_{seed}.pkl")
     if os.path.exists(preprocessed):
         print(f"Loading preprocessed few-shot data from {preprocessed}")
-        with open(preprocessed, "rb") as f:
-            data = pickle.load(f)
-        return data["train"], data["val"]
+        try:
+            with open(preprocessed, "rb") as f:
+                data = pickle.load(f)
+            return data["train"], data["val"]
+        except Exception as exc:
+            # e.g. a cache written by the torch/dassl reference sharing the
+            # same data root (unpicklable here).  Regenerate in memory but
+            # do NOT overwrite the reference's file.
+            print(
+                f"(!) Could not load few-shot cache {preprocessed} ({exc}); "
+                "regenerating without overwriting"
+            )
+            train = dataset.generate_fewshot_dataset(train, num_shots=num_shots)
+            val = dataset.generate_fewshot_dataset(val, num_shots=min(num_shots, 4))
+            return train, val
     train = dataset.generate_fewshot_dataset(train, num_shots=num_shots)
     val = dataset.generate_fewshot_dataset(val, num_shots=min(num_shots, 4))
     print(f"Saving preprocessed few-shot data to {preprocessed}")

@@ -167,33 +167,40 @@ class TransformPipeline:
         this is what keeps seeded runs reproducible even though the
         decode/resize work itself fans out to a thread pool (or the C++
         pipeline) in arbitrary order.
+
+        Plan: (box_or_None, flip).  Dassl applies random_flip
+        independently of random_resized_crop, so flip is drawn whenever
+        enabled even without RRC.
         """
-        if not train or not self.use_rrc:
+        if not train or not (self.use_rrc or self.use_flip):
             return None
-        w, h = self.image_size(impath)
-        box = sample_rrc_box(w, h, self.scale)
+        box = None
+        if self.use_rrc:
+            w, h = self.image_size(impath)
+            box = sample_rrc_box(w, h, self.scale)
         flip = bool(self.use_flip and random.random() < 0.5)
         return (box, flip)
 
     def __call__(self, impath: str, train: bool, plan=None) -> np.ndarray:
-        if train and self.use_rrc and plan is None:
+        if train and plan is None:
             plan = self.make_plan(impath, train)
         native = self._native_path(impath, train, plan)
         if native is not None:
             return native
         img = load_image(impath)
-        if train and self.use_rrc:
-            (left, top, cw, ch), flip = plan
+        box, flip = plan if (train and plan is not None) else (None, False)
+        if box is not None:
+            left, top, cw, ch = box
             img = img.resize(
                 (self.size, self.size),
                 _interp(self.interpolation),
                 box=(left, top, left + cw, top + ch),
             )
-            if flip:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
         else:
             img = resize_shorter(img, self.size, self.interpolation)
             img = center_crop(img, self.size)
+        if flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, dtype=np.uint8)
 
     def _native_path(self, impath: str, train: bool, plan) -> np.ndarray | None:
@@ -213,13 +220,15 @@ class TransformPipeline:
         path_b = impath.encode()
         out = np.empty((self.size, self.size, 3), dtype=np.uint8)
         out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        if train and self.use_rrc:
+        if train and plan is not None and plan[0] is not None:
             (left, top, cw, ch), flip = plan
             rc = lib.rpo_train_preprocess(
                 path_b, left, top, cw, ch, int(flip), self.size, out_ptr
             )
         else:
             rc = lib.rpo_eval_preprocess(path_b, self.size, out_ptr)
+            if rc == 0 and train and plan is not None and plan[1]:
+                out = out[:, ::-1].copy()  # flip-only train path
         return out if rc == 0 else None
 
 

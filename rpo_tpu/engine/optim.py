@@ -62,8 +62,11 @@ def lr_at_epoch(cfg_optim, epoch: int) -> float:
         if cfg_optim.WARMUP_TYPE == "constant":
             return float(cfg_optim.WARMUP_CONS_LR)
         if cfg_optim.WARMUP_TYPE == "linear":
-            lo = float(cfg_optim.WARMUP_MIN_LR)
-            return lo + (lr - lo) * (epoch + 1) / warmup
+            # Dassl _LinearWarmupScheduler: WARMUP_MIN_LR at epoch 0,
+            # then LR * epoch / warmup_epoch
+            if epoch == 0:
+                return float(cfg_optim.WARMUP_MIN_LR)
+            return lr * epoch / warmup
         raise ValueError(f"Unknown WARMUP_TYPE {cfg_optim.WARMUP_TYPE}")
 
     sched = cfg_optim.LR_SCHEDULER

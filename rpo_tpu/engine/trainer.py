@@ -239,8 +239,7 @@ class TrainerBase:
         latest = max(int(p.rsplit("-", 1)[1]) for p in ckpts)
         for name in self._model_names:
             path = os.path.join(directory, name, f"model.pth.tar-{latest}")
-            with open(path, "rb") as f:
-                checkpoint = pickle.load(f)
+            checkpoint = _load_checkpoint_file(path)
             self.set_ckpt_state(name, checkpoint["state_dict"])
             if checkpoint.get("optimizer") is not None:
                 self.set_optim_state(name, checkpoint["optimizer"])
@@ -364,7 +363,9 @@ class TrainerBase:
             cfg.TRAIN.CHECKPOINT_FREQ > 0
             and (self.epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0
         )
-        if do_test and cfg.TEST.FINAL_MODEL == "best_val" and self.dm.val_loader:
+        if do_test and cfg.TEST.FINAL_MODEL == "best_val":
+            # test(split="val") falls back to the test split when the
+            # dataset has no val list (Dassl behavior)
             result = self.test(split="val")
             if result > self.best_result:
                 self.best_result = result

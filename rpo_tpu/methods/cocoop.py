@@ -152,3 +152,19 @@ class CoCoOp(CLIPMethodTrainer):
             )
 
         self._install_steps(train_step, None, eval_step)
+
+    def set_ckpt_state(self, name: str, state) -> None:
+        """Accept reference torch checkpoints too: their prompt_learner
+        state is flat ('ctx', 'meta_net.linear1.weight', ...) with torch's
+        (out, in) Linear layout — remap to our nested pytree."""
+        if "meta_net.linear1.weight" in state:
+            state = {
+                "ctx": state["ctx"],
+                "meta_net": {
+                    "w1": np.asarray(state["meta_net.linear1.weight"]).T,
+                    "b1": state["meta_net.linear1.bias"],
+                    "w2": np.asarray(state["meta_net.linear2.weight"]).T,
+                    "b2": state["meta_net.linear2.bias"],
+                },
+            }
+        super().set_ckpt_state(name, state)

@@ -120,10 +120,11 @@ def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, n_layers: int) -> Para
     }
 
 
-def convert_state_dict(sd: Dict[str, Any]) -> Params:
+def convert_state_dict(sd: Dict[str, Any], cfg: CLIPConfig | None = None) -> Params:
     """Torch CLIP state dict (numpy or torch leaves) -> rpo_tpu pytree (fp32)."""
     sd = {k: _np(v) for k, v in sd.items()}
-    cfg = infer_config(sd)
+    if cfg is None:
+        cfg = infer_config(sd)
 
     if not cfg.is_vit:
         from .resnet import convert_resnet_visual
@@ -171,4 +172,6 @@ def load_clip(path: str):
     sd = load_torch_state_dict(path)
     for key in ("input_resolution", "context_length", "vocab_size"):
         sd.pop(key, None)
-    return convert_state_dict(sd), infer_config(sd)
+    sd = {k: _np(v) for k, v in sd.items()}
+    cfg = infer_config(sd)
+    return convert_state_dict(sd, cfg=cfg), cfg

@@ -70,15 +70,23 @@ def _attn_kernel_with_probs(q_ref, k_ref, v_ref, bias_ref, o_ref, w_ref, *, scal
     w_ref[0, 0] = w
 
 
+def _bias_spec_for(bias, L, kw):
+    """BlockSpec that reads a shared (1,1,L,L) bias in place instead of
+    materializing a (B,1,L,L) broadcast copy in HBM."""
+    if bias.shape[0] == 1:
+        return pl.BlockSpec((1, 1, L, L), lambda b, h: (0, 0, 0, 0), **kw)
+    return pl.BlockSpec((1, 1, L, L), lambda b, h: (b, 0, 0, 0), **kw)
+
+
 def _fwd_pallas(q, k, v, bias, interpret=False):
     B, H, L, D = q.shape
     scale = D ** -0.5
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, 1, L, L))
+    bias = bias.astype(jnp.float32)
 
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
     qkv_spec = pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0), **kw)
-    bias_spec = pl.BlockSpec((1, 1, L, L), lambda b, h: (b, 0, 0, 0), **kw)
+    bias_spec = _bias_spec_for(bias, L, kw)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=(B, H),
@@ -109,11 +117,11 @@ def _ref_forward(q, k, v, bias):
 def _fwd_pallas_with_probs(q, k, v, bias, interpret=False):
     B, H, L, D = q.shape
     scale = D ** -0.5
-    bias = jnp.broadcast_to(bias.astype(jnp.float32), (B, 1, L, L))
+    bias = bias.astype(jnp.float32)
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
     qkv_spec = pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0), **kw)
-    bias_spec = pl.BlockSpec((1, 1, L, L), lambda b, h: (b, 0, 0, 0), **kw)
+    bias_spec = _bias_spec_for(bias, L, kw)
     probs_spec = pl.BlockSpec((1, 1, L, L), lambda b, h: (b, h, 0, 0), **kw)
     return pl.pallas_call(
         functools.partial(_attn_kernel_with_probs, scale=scale),

@@ -1,0 +1,100 @@
+"""Regression tests for the round-1 code-review findings."""
+import random
+
+import numpy as np
+import pytest
+
+from rpo_tpu.data.datum import Datum
+from rpo_tpu.data.loader import BatchLoader
+from rpo_tpu.engine import get_cfg_default, lr_at_epoch
+
+
+def _items(n):
+    return [Datum(impath=f"synthetic://t/{i % 3}/{i}", label=i % 3) for i in range(n)]
+
+
+def _transform(cfg=None):
+    from rpo_tpu.data.transforms import TransformPipeline
+
+    class I:
+        SIZE = (32, 32)
+        INTERPOLATION = "bicubic"
+        RRCROP_SCALE = (0.08, 1.0)
+        TRANSFORMS = ("random_flip", "normalize")  # flip WITHOUT rrc
+        PIXEL_MEAN = [0.5, 0.5, 0.5]
+        PIXEL_STD = [0.5, 0.5, 0.5]
+
+    return TransformPipeline(I)
+
+
+def test_linear_warmup_matches_dassl():
+    cfg = get_cfg_default()
+    o = cfg.OPTIM
+    o.LR = 0.01
+    o.MAX_EPOCH = 20
+    o.LR_SCHEDULER = "cosine"
+    o.WARMUP_EPOCH = 5
+    o.WARMUP_TYPE = "linear"
+    o.WARMUP_MIN_LR = 1e-5
+    assert lr_at_epoch(o, 0) == 1e-5  # min LR at epoch 0
+    assert abs(lr_at_epoch(o, 1) - 0.01 * 1 / 5) < 1e-12
+    assert abs(lr_at_epoch(o, 4) - 0.01 * 4 / 5) < 1e-12
+    assert lr_at_epoch(o, 5) < 0.01  # cosine takes over
+
+
+def test_train_loader_drops_last_partial_batch():
+    tr = _transform()
+    loader = BatchLoader(_items(10), tr, batch_size=4, train=True, shuffle=False,
+                         num_workers=1, drop_last=True)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all(b["n"] == 4 for b in batches)
+    # eval keeps (padded) remainder
+    ev = BatchLoader(_items(10), tr, batch_size=4, train=False, shuffle=False,
+                     num_workers=1)
+    assert len(ev) == 3 and list(ev)[-1]["n"] == 2
+    # drop_last degrades gracefully when dataset < batch_size
+    small = BatchLoader(_items(3), tr, batch_size=4, train=True, shuffle=False,
+                        num_workers=1, drop_last=True)
+    assert len(small) == 1
+
+
+def test_flip_without_rrc_is_applied():
+    tr = _transform()
+    path = "synthetic://t/0/0"
+    random.seed(0)
+    flips = [tr.make_plan(path, train=True)[1] for _ in range(64)]
+    assert any(flips) and not all(flips)  # flip is actually drawn
+    base = tr(path, train=False)
+    random.seed(0)
+    outs = [tr(path, train=True) for _ in range(8)]
+    flipped_seen = any(np.array_equal(o, base[:, ::-1]) for o in outs)
+    unflipped_seen = any(np.array_equal(o, base) for o in outs)
+    assert flipped_seen and unflipped_seen
+
+
+def test_loader_propagates_producer_errors():
+    def bad_transform(impath, train, plan=None):
+        raise RuntimeError("corrupt image")
+
+    loader = BatchLoader(_items(4), bad_transform, batch_size=2, train=False,
+                         shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        list(loader)
+
+
+def test_fewshot_cache_unreadable_fallback(tmp_path):
+    from rpo_tpu.data.datum import DatasetBase
+    from rpo_tpu.data.splits import load_or_create_fewshot
+
+    cache_dir = tmp_path / "split_fewshot"
+    cache_dir.mkdir()
+    (cache_dir / "shot_2-seed_1.pkl").write_bytes(b"\x80\x04 garbage from dassl")
+    items = _items(12)
+    ds = DatasetBase(train_x=items)
+    random.seed(1)
+    train, val = load_or_create_fewshot(ds, items, items, str(cache_dir), 2, 1)
+    assert len(train) == 6  # regenerated (3 classes x 2 shots)
+    # the unreadable (reference) cache was NOT overwritten
+    assert (cache_dir / "shot_2-seed_1.pkl").read_bytes().startswith(b"\x80\x04 garbage")
