@@ -61,7 +61,9 @@ def main() -> None:
     # pytree into the executable as constants -> minutes of compile)
     frozen = core.make_frozen(params, task)
     normalize = device_normalize_fn(
-        [0.48145466, 0.4578275, 0.40821073], [0.26862954, 0.26130258, 0.27577711]
+        [0.48145466, 0.4578275, 0.40821073],
+        [0.26862954, 0.26130258, 0.27577711],
+        dtype=jnp.bfloat16,
     )
 
     def train_step(prompts, opt_state, frozen, images_u8, labels, mask, lr):

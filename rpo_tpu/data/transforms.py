@@ -232,15 +232,21 @@ class TransformPipeline:
         return out if rc == 0 else None
 
 
-def device_normalize_fn(mean: Iterable[float], std: Iterable[float]):
+def device_normalize_fn(mean: Iterable[float], std: Iterable[float], dtype=None):
     """Returns a jit-friendly uint8 -> normalized float fn (fuses into the
-    first matmul under XLA)."""
+    first matmul under XLA).
+
+    ``dtype`` sets the OUTPUT dtype (normalize computes in fp32, rounds
+    once).  Within a fused jit program XLA already folds the fp32
+    intermediate into the patch-embed matmul, so this mainly matters when
+    normalized images are materialized (e.g. cached feature pipelines)."""
     import jax.numpy as jnp
 
     mean_a = jnp.asarray(np.asarray(mean, np.float32) * 255.0)
     std_a = jnp.asarray(np.asarray(std, np.float32) * 255.0)
 
     def normalize(images_u8):
-        return (images_u8.astype(jnp.float32) - mean_a) / std_a
+        out = (images_u8.astype(jnp.float32) - mean_a) / std_a
+        return out.astype(dtype) if dtype is not None else out
 
     return normalize

@@ -59,7 +59,9 @@ class CLIPMethodTrainer(TrainerBase):
             f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal to "
             f"clip_imsize ({self.clip_cfg.image_resolution})"
         )
-        self._normalize = device_normalize_fn(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+        self._normalize = device_normalize_fn(
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, dtype=prec_dtype(prec)
+        )
         self._momentum = float(cfg.OPTIM.MOMENTUM)
         self._weight_decay = float(cfg.OPTIM.WEIGHT_DECAY)
         self._nesterov = bool(cfg.OPTIM.SGD_NESTEROV)

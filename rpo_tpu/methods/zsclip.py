@@ -49,7 +49,9 @@ class ZeroshotCLIP(TrainerBase):
         self.clip_params, self.clip_cfg = load_backbone(
             cfg.MODEL.BACKBONE.NAME, dtype=jnp.bfloat16, seed=max(int(cfg.SEED), 0)
         )
-        self._normalize = device_normalize_fn(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+        self._normalize = device_normalize_fn(
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, dtype=jnp.bfloat16
+        )
         self.text_features = self._text_features_for(self._select_templates())
 
         ccfg, normalize = self.clip_cfg, self._normalize
