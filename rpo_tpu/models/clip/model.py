@@ -68,6 +68,16 @@ RN101 = CLIPConfig(
     embed_dim=512, vision_layers=(3, 4, 23, 3), vision_width=64,
     vision_patch_size=0,
 )
+RN50x4 = CLIPConfig(
+    embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
+    vision_width=80, vision_patch_size=0,
+    text_width=640, text_heads=10, text_layers=12,
+)
+RN50x16 = CLIPConfig(
+    embed_dim=768, image_resolution=384, vision_layers=(6, 8, 18, 8),
+    vision_width=96, vision_patch_size=0,
+    text_width=768, text_heads=12, text_layers=12,
+)
 # Test-size model: full structure, tiny dims (vision_width must be a
 # multiple of 64 because vision_heads = width // 64, model.py:276).
 TINY = CLIPConfig(
@@ -88,6 +98,8 @@ ARCHS = {
     "ViT-B/32": VIT_B32,
     "RN50": RN50,
     "RN101": RN101,
+    "RN50x4": RN50x4,
+    "RN50x16": RN50x16,
     "TINY": TINY,
 }
 
