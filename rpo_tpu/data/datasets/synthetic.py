@@ -8,7 +8,7 @@ the framework's fake-data backend: deterministic pseudo-images keyed by
 from __future__ import annotations
 
 from rpo_tpu.data.datum import Datum, DatasetBase
-from rpo_tpu.data.splits import load_or_create_fewshot, subsample_classes
+from rpo_tpu.data.splits import subsample_classes
 from rpo_tpu.engine.registry import DATASET_REGISTRY
 
 _CLASSNAMES = [

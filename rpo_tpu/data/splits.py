@@ -13,7 +13,7 @@ import os
 import pickle
 import random
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from .datum import Datum
 

@@ -17,7 +17,7 @@ SGD update matches torch exactly (decoupled schedules aside):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ covers the device-side pieces:
 """
 from __future__ import annotations
 
-import math
-from typing import Iterable, Tuple
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,63 @@
+"""Sweep runner logic tests (job matrix, sharding, done detection)."""
+import importlib.util
+import os
+import sys
+import types
+
+
+def _load_sweep():
+    spec = importlib.util.spec_from_file_location(
+        "_sweep", os.path.join(os.path.dirname(__file__), "..", "scripts", "sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(**kw):
+    defaults = dict(
+        trainer="RPO", cfg="main_K24", datasets=["caltech101", "dtd"],
+        seeds=[1, 2], shots=[16], load_epoch=15, root="", workers=1,
+        retries=0, shard="",
+    )
+    defaults.update(kw)
+    return types.SimpleNamespace(**defaults)
+
+
+def test_job_matrix():
+    sweep = _load_sweep()
+    jobs = sweep.make_base2new_jobs(_args())
+    # 2 datasets x 2 seeds x 1 shot x (train + test_base + test_new)
+    assert len(jobs) == 12
+    phases = {j["phase"] for j in jobs}
+    assert phases == {"train", "test_base", "test_new"}
+    train = [j for j in jobs if j["phase"] == "train"][0]
+    assert "DATASET.SUBSAMPLE_CLASSES" in train["argv"]
+    assert "base" in train["argv"]
+    test_new = [j for j in jobs if j["phase"] == "test_new"][0]
+    assert "--eval-only" in test_new["argv"]
+    assert "--model-dir" in test_new["argv"]
+
+
+def test_job_done_detection(tmp_path):
+    sweep = _load_sweep()
+    d = tmp_path / "out"
+    assert not sweep.job_done(str(d))
+    os.makedirs(d)
+    (d / "log.txt").write_text("epoch [1/2] ...\n")
+    assert not sweep.job_done(str(d))
+    (d / "log.txt").write_text("...\nFinish training\n* accuracy: 50.0%\n")
+    assert sweep.job_done(str(d))
+
+
+def test_sharding_partitions_matrix():
+    sweep = _load_sweep()
+    jobs = sweep.make_base2new_jobs(_args())
+    keys = sorted({(j["dataset"], j["seed"], j["shot"]) for j in jobs})
+    seen = set()
+    for i in range(2):
+        mine = {k for n, k in enumerate(keys) if n % 2 == i}
+        assert mine, "each shard gets work"
+        assert not (mine & seen)
+        seen |= mine
+    assert seen == set(keys)
