@@ -82,6 +82,46 @@ def test_dp_eval_matches(setup):
     )
 
 
+def test_dp_multi_step_matches_sequential(setup):
+    """Grouped scan dispatch under DP shardings == sequential single steps."""
+    from rpo_tpu.parallel.dp import shard_multi_step
+
+    cfg, params, task, prompts0, frozen, train_step = setup
+
+    def multi_step(p, o, frozen, imgs_g, labels_g, mask_g, lr):
+        def body(carry, batch):
+            p, o = carry
+            imgs, labels, mask = batch
+            p, o, loss = train_step(p, o, frozen, imgs, labels, mask, lr)
+            return (p, o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), (imgs_g, labels_g, mask_g))
+        return p, o, losses
+
+    rng = np.random.RandomState(3)
+    G, B = 3, 8
+    imgs = jnp.asarray(rng.randn(G, B, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, (G, B)), jnp.int32)
+    masks = jnp.ones((G, B), jnp.float32)
+    lr = jnp.float32(0.05)
+
+    mesh = make_mesh()
+    dp_multi = shard_multi_step(multi_step, mesh, donate=False)
+    p_dp, o_dp, losses_dp = dp_multi(prompts0, sgd_init(prompts0), frozen, imgs, labels, masks, lr)
+
+    p_sd, o_sd = prompts0, sgd_init(prompts0)
+    seq_losses = []
+    step = jax.jit(train_step)
+    for i in range(G):
+        p_sd, o_sd, loss = step(p_sd, o_sd, frozen, imgs[i], labels[i], masks[i], lr)
+        seq_losses.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses_dp), seq_losses, rtol=1e-5)
+    for k in p_dp:
+        np.testing.assert_allclose(
+            np.asarray(p_dp[k]), np.asarray(p_sd[k]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_padded_rows_do_not_change_grads(setup):
     """Masked padding must be a no-op for the training math."""
     cfg, params, task, prompts, frozen, train_step = setup
