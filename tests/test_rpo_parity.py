@@ -181,7 +181,7 @@ def test_loss_and_grad_parity(pair):
     (loss_j, _), grads = jax.value_and_grad(jrpo.rpo_loss, has_aux=True)(
         prompts, params, task, jnp.asarray(imgs), jnp.asarray(labels)
     )
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(
         np.asarray(grads["text_prompt"]), ref_gt, rtol=5e-3, atol=1e-5
     )
