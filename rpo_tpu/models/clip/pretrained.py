@@ -26,6 +26,46 @@ _FILENAMES = {
     "RN50x16": "RN50x16.pt",
 }
 
+# Official OpenAI release URLs (SHA256 embedded in the path), as in the
+# reference's _MODELS table (/root/reference/clip/clip.py:29-36).  Only
+# used when RPO_TPU_ALLOW_DOWNLOAD=1 — TPU pods typically have no egress.
+_URLS = {
+    "RN50": "https://openaipublic.azureedge.net/clip/models/afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762/RN50.pt",
+    "RN101": "https://openaipublic.azureedge.net/clip/models/8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599/RN101.pt",
+    "RN50x4": "https://openaipublic.azureedge.net/clip/models/7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd/RN50x4.pt",
+    "RN50x16": "https://openaipublic.azureedge.net/clip/models/52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa/RN50x16.pt",
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+}
+
+
+def _maybe_download(backbone_name: str) -> Optional[str]:
+    """Download + SHA256-verify a checkpoint when explicitly allowed
+    (behavioral mirror of /root/reference/clip/clip.py:39-68)."""
+    if os.environ.get("RPO_TPU_ALLOW_DOWNLOAD") != "1":
+        return None
+    url = _URLS.get(backbone_name)
+    if url is None:
+        return None
+    import hashlib
+    import urllib.request
+
+    cache_dir = os.environ.get("CLIP_CACHE_DIR", os.path.expanduser("~/.cache/clip"))
+    os.makedirs(cache_dir, exist_ok=True)
+    target = os.path.join(cache_dir, os.path.basename(url))
+    expected_sha = url.split("/")[-2]
+    if not os.path.exists(target):
+        print(f"Downloading {url} -> {target}")
+        tmp = target + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, target)
+    with open(target, "rb") as f:
+        if hashlib.sha256(f.read()).hexdigest() != expected_sha:
+            raise RuntimeError(
+                f"{target} exists but its SHA256 does not match; delete and retry"
+            )
+    return target
+
 
 def find_checkpoint(backbone_name: str) -> Optional[str]:
     explicit = os.environ.get("CLIP_CHECKPOINT")
@@ -39,7 +79,7 @@ def find_checkpoint(backbone_name: str) -> Optional[str]:
         path = os.path.join(cache_dir, fname)
         if os.path.exists(path):
             return path
-    return None
+    return _maybe_download(backbone_name)
 
 
 def load_backbone(
