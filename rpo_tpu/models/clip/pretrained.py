@@ -57,7 +57,11 @@ def _maybe_download(backbone_name: str) -> Optional[str]:
     if not os.path.exists(target):
         print(f"Downloading {url} -> {target}")
         tmp = target + ".part"
-        urllib.request.urlretrieve(url, tmp)
+        try:
+            urllib.request.urlretrieve(url, tmp)
+        except Exception as exc:  # no egress: fall back to random init
+            print(f"(!) download failed ({exc}); continuing without weights")
+            return None
         os.replace(tmp, target)
     with open(target, "rb") as f:
         if hashlib.sha256(f.read()).hexdigest() != expected_sha:
