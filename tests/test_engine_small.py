@@ -1,0 +1,62 @@
+"""Coverage for small engine pieces: logger tee, device prefetch,
+CfgNode clone/freeze, ZeroshotCLIP2 re-instantiation."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from rpo_tpu.engine import get_cfg_default
+
+
+def test_logger_tee(tmp_path):
+    # run in a subprocess: setup_logger replaces sys.stdout
+    code = f"""
+from rpo_tpu.engine import setup_logger
+setup_logger({str(tmp_path)!r})
+print("hello tee")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+    assert "hello tee" in r.stdout
+    assert "hello tee" in open(tmp_path / "log.txt").read()
+
+
+def test_logger_preserves_old_log(tmp_path):
+    (tmp_path / "log.txt").write_text("old run\n")
+    code = f"""
+from rpo_tpu.engine import setup_logger
+setup_logger({str(tmp_path)!r})
+print("new run")
+"""
+    subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                   cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    logs = sorted(os.listdir(tmp_path))
+    assert len(logs) == 2  # renamed old + fresh log.txt
+    assert "new run" in open(tmp_path / "log.txt").read()
+
+
+def test_device_prefetch_order_and_content():
+    from rpo_tpu.engine.trainer import device_prefetch
+
+    batches = [
+        {"img": np.full((2, 4, 4, 3), i, np.uint8), "label": np.array([i, i]),
+         "mask": np.ones(2, np.float32), "n": 2}
+        for i in range(5)
+    ]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert int(np.asarray(b["label"])[0]) == i
+        assert b["n"] == 2  # non-array fields pass through
+
+
+def test_cfgnode_clone_freeze():
+    cfg = get_cfg_default()
+    cfg.freeze()
+    c2 = cfg.clone()
+    assert c2.is_frozen()
+    c2.defrost()
+    c2.SEED = 7
+    assert cfg.SEED == -1  # deep copy
