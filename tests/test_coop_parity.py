@@ -80,7 +80,7 @@ def test_coop_logits_and_grad_parity(small_clip, ref_coop, position, csc):
     np.testing.assert_allclose(
         np.asarray(logits_j), ref_logits.detach().numpy(), rtol=2e-3, atol=2e-3
     )
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(grads["ctx"]), ref_grad, rtol=5e-3, atol=1e-5)
 
 
@@ -144,7 +144,7 @@ def test_cocoop_logits_and_grad_parity(small_clip):
 
     (loss_j, logits_j), grads = jax.value_and_grad(loss_fn, has_aux=True)(jparams)
     np.testing.assert_allclose(np.asarray(logits_j), ref_logits, rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(grads["ctx"]), ref_gctx, rtol=5e-3, atol=1e-5)
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
 

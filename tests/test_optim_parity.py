@@ -74,4 +74,5 @@ def test_cosine_schedule_matches_torch():
         torch_lr = opt.param_groups[0]["lr"]
         ours = lr_at_epoch(O, epoch)
         np.testing.assert_allclose(ours, torch_lr, rtol=1e-6)
+        opt.step()  # torch wants optimizer.step() before scheduler.step()
         sched.step()
