@@ -277,7 +277,11 @@ class TrainerBase:
 
             os.makedirs(profile_dir, exist_ok=True)
             print(f"Capturing jax.profiler trace for epoch {self.epoch + 1} -> {profile_dir}")
-            jax.profiler.start_trace(profile_dir)
+            try:
+                jax.profiler.start_trace(profile_dir)
+            except Exception as exc:  # profiling must never kill a run
+                print(f"(!) profiler unavailable: {exc}")
+                profiling = False
         try:
             self._run_epoch_inner()
         finally:
