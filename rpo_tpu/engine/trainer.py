@@ -195,14 +195,19 @@ class TrainerBase:
                 "optimizer": _to_numpy(self.get_optim_state(name)),
                 "val_result": self.best_result,
             }
+            def atomic_dump(path):
+                # write-then-rename: a preempted/killed job never leaves a
+                # truncated checkpoint behind
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, path)
+
             fpath = os.path.join(model_dir, f"model.pth.tar-{epoch + 1}")
-            with open(fpath, "wb") as f:
-                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            atomic_dump(fpath)
             print(f"Checkpoint saved to {fpath}")
             if is_best:
-                best_path = os.path.join(model_dir, "model-best.pth.tar")
-                with open(best_path, "wb") as f:
-                    pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+                atomic_dump(os.path.join(model_dir, "model-best.pth.tar"))
 
     def load_model(self, directory: str, epoch: Optional[int] = None) -> None:
         """Reference semantics (rpo.py:325-357): best model by default,
