@@ -17,6 +17,9 @@ class ClassificationEvaluator:
         self.cfg = cfg
         self.classnames = classnames
         self.per_class = bool(cfg.TEST.PER_CLASS_RESULT) if cfg is not None else False
+        # Dassl's COMPUTE_CMAT saves a confusion matrix to the output dir
+        self.compute_cmat = bool(cfg.TEST.COMPUTE_CMAT) if cfg is not None else False
+        self.output_dir = str(cfg.OUTPUT_DIR) if cfg is not None else ""
         self.reset()
 
     def reset(self) -> None:
@@ -88,4 +91,16 @@ class ClassificationEvaluator:
                     f"acc: {pc_acc:.1f}%"
                 )
             print(f"* average: {np.mean(accs):.1f}%")
+        if self.compute_cmat and self._y_true:
+            import os
+
+            y_true = np.asarray(self._y_true)
+            y_pred = np.asarray(self._y_pred)
+            n = int(max(y_true.max(), y_pred.max())) + 1
+            cmat = np.zeros((n, n), dtype=np.int64)
+            np.add.at(cmat, (y_true, y_pred), 1)
+            os.makedirs(self.output_dir or ".", exist_ok=True)
+            path = os.path.join(self.output_dir or ".", "cmat.npy")
+            np.save(path, cmat)
+            print(f"Confusion matrix is saved to {path}")
         return results

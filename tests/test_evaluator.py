@@ -50,3 +50,14 @@ def test_macro_f1_value():
     # per-class F1: cat tp=1 fp=1 fn=0 -> 2/3; dog tp=1 fp=0 fn=1 -> 2/3;
     # bird tp=1 fp=0 fn=0 -> 1.0 ; macro = 7/9
     np.testing.assert_allclose(results["macro_f1"], 100 * 7 / 9, rtol=1e-6)
+
+
+def test_confusion_matrix_saved(tmp_path):
+    cfg = get_cfg_default()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TEST.COMPUTE_CMAT = True
+    ev = ClassificationEvaluator(cfg, classnames=["a", "b"])
+    ev.process(np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]), np.array([0, 1, 1]))
+    ev.evaluate()
+    cmat = np.load(tmp_path / "cmat.npy")
+    np.testing.assert_array_equal(cmat, [[1, 0], [1, 1]])
