@@ -69,6 +69,15 @@ class CLIPMethodTrainer(TrainerBase):
         print("Building custom CLIP")
         self.build_method()
 
+        if cfg.MODEL.INIT_WEIGHTS:
+            # initialize the trainable module from a checkpoint file before
+            # training (reference load_pretrained_weights, rpo.py:269-270)
+            from rpo_tpu.engine.trainer import _load_checkpoint_file
+
+            ckpt = _load_checkpoint_file(cfg.MODEL.INIT_WEIGHTS)
+            print(f"Initializing {self.model_name} from {cfg.MODEL.INIT_WEIGHTS}")
+            self.set_ckpt_state(self.model_name, ckpt["state_dict"])
+
         self.opt_state = sgd_init(self.params)
         self.register_model(self.model_name)
         names = {f"{self.model_name}.{k}" for k in self.params}
