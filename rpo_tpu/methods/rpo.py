@@ -28,8 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from rpo_tpu.models.clip import CLIPConfig
-from rpo_tpu.models.clip.layers import layer_norm
+from rpo_tpu.models.clip.layers import (
+    cross_residual_block,
+    layer_norm,
+    residual_block_kv,
+)
 from rpo_tpu.models.clip.model import (
+    causal_mask,
     text_transformer_run,
     vision_embed,
     vision_transformer_run,
@@ -63,6 +68,17 @@ def build_text_mask(len_prompts: np.ndarray, context_length: int = 77) -> np.nda
         blocked = causal | (cols >= int(idx))
         masks.append(np.where(blocked, NEG_INF, 0.0))
     return np.stack(masks).astype(np.float32)[:, None]
+
+
+def build_prompt_col_mask(len_prompts: np.ndarray, kv_len: int) -> np.ndarray:
+    """(n_cls, 1, 1, kv_len) float32 additive bias for the cached-KV fast
+    path: prompt rows of class c may read only the frozen columns
+    ``col < len_prompts[c]`` (rpo.py:144-151 — the ``mask[:, idx:]``
+    column rule; causal is vacuous for prompt rows since every visible
+    column precedes them)."""
+    cols = np.arange(kv_len)[None, :]
+    blocked = cols >= np.asarray(len_prompts)[:, None]
+    return np.where(blocked, NEG_INF, 0.0).astype(np.float32)[:, None, None, :]
 
 
 def build_visual_mask(seq_len: int, K: int) -> np.ndarray:
@@ -160,21 +176,77 @@ def precompute_text_x(clip_params: Params, task: RPOTask) -> jax.Array:
     return emb + t["positional_embedding"].astype(emb.dtype)
 
 
-def make_frozen(clip_params: Params, task: RPOTask) -> Params:
+def _frozen_text_kv_impl(text_params, text_x, bias, n_heads: int, kv_len: int):
+    """Run the frozen text tower under the plain causal mask, collecting
+    each layer's (k, v) heads truncated to the first kv_len columns."""
+
+    def step(x, p):
+        x, k, v = residual_block_kv(x, p, n_heads, bias)
+        return x, (k[:, :, :kv_len], v[:, :, :kv_len])
+
+    _, (ks, vs) = jax.lax.scan(step, text_x, text_params["blocks"])
+    return ks, vs  # (L_layers, n_cls, H, kv_len, Dh)
+
+
+_frozen_text_kv = jax.jit(
+    _frozen_text_kv_impl, static_argnames=("n_heads", "kv_len")
+)
+
+
+def precompute_text_kv(clip_params: Params, task: RPOTask) -> Dict[str, jax.Array]:
+    """Per-layer frozen-text K/V — the RPO read-only-mask algebraic win.
+
+    The reference text mask blocks every column >= idx_c for every row
+    (/root/reference/trainers/rpo.py:144-151), so (a) frozen-token rows
+    see exactly the vanilla causal context — their activations at every
+    layer are independent of the K learnable prompts — and (b) prompt
+    rows read only frozen columns, never themselves or each other.
+    Hence each layer's frozen K/V can be computed ONCE per task and every
+    training step only has to push the K prompt rows per class through
+    the tower (q-projection + cross-attention + MLP): ~77/K fewer text
+    rows per step at identical math.
+
+    Returns {"k", "v"}: (L_layers, n_cls, H, T, Dh) with
+    T = max(len_prompts) — columns beyond the longest real sequence are
+    masked for every class and never read.
+    """
+    cfg = task.cfg
+    t = clip_params["text"]
+    text_x = precompute_text_x(clip_params, task)
+    bias = causal_mask(cfg.context_length)[None, None]
+    kv_len = int(task.len_prompts.max())
+    k, v = _frozen_text_kv(t, text_x, bias, cfg.text_heads, kv_len)
+    return {"k": k, "v": v}
+
+
+def make_frozen(
+    clip_params: Params, task: RPOTask, cache_text_kv: bool = True
+) -> Params:
     """Bundle every non-trainable tensor a jitted RPO step touches.
 
     This bundle must be passed as a jit ARGUMENT (never closed over):
     jax embeds closure arrays into the compiled HLO as literal constants
     — for the ~300MB CLIP pytree that meant gigabyte executables and
     200-350s compiles (measured on TPU v5e) vs seconds as parameters.
+
+    cache_text_kv=True adds the per-layer frozen-text K/V cache (see
+    precompute_text_kv) which switches encode_text_with_prompts to the
+    prompt-rows-only fast path.
     """
-    return {
+    bundle = {
         "clip": clip_params,
         "text_x": precompute_text_x(clip_params, task),
         "text_mask": jnp.asarray(task.text_mask),
         "visual_mask": jnp.asarray(task.visual_mask),
         "prompt_onehot": jnp.asarray(task.prompt_onehot),
     }
+    if cache_text_kv:
+        kv = precompute_text_kv(clip_params, task)
+        bundle["text_kv"] = kv
+        bundle["prompt_col_mask"] = jnp.asarray(
+            build_prompt_col_mask(task.len_prompts, kv["k"].shape[-2])
+        )
+    return bundle
 
 
 # ---------------------------------------------------------------------------
@@ -183,10 +255,44 @@ def make_frozen(clip_params: Params, task: RPOTask) -> Params:
 
 def _as_frozen(frozen_or_clip: Params, task: RPOTask) -> Params:
     """Accept either a make_frozen() bundle or bare clip params (test
-    convenience — bare params rebuild the bundle in-trace)."""
+    convenience — bare params rebuild the bundle in-trace, without the
+    KV cache: precomputing it inside a traced step would defeat it)."""
     if "clip" in frozen_or_clip:
         return frozen_or_clip
-    return make_frozen(frozen_or_clip, task)
+    return make_frozen(frozen_or_clip, task, cache_text_kv=False)
+
+
+def encode_text_prompts_cached(
+    prompts: Params, frozen: Params, task: RPOTask
+) -> jax.Array:
+    """Fast text path: push ONLY the K prompt rows per class through the
+    tower, cross-attending each layer to the precomputed frozen K/V.
+
+    Exactly equal (up to reduction order) to encode_text_with_prompts:
+    prompt rows never produce keys/values any other row may read, and
+    frozen rows never read prompt columns (see precompute_text_kv).
+    Prompt vectors REPLACE the embedded tokens at their positions in the
+    reference (rpo.py:175-177) so they carry no positional embedding —
+    the initial row state is the raw prompt vector, identical across
+    classes.
+    """
+    cfg = task.cfg
+    t = frozen["clip"]["text"]
+    kv = frozen["text_kv"]
+    bias = frozen["prompt_col_mask"]
+    dtype = kv["k"].dtype
+    tp = prompts["text_prompt"].astype(dtype)  # (K, d_t)
+    x = jnp.broadcast_to(tp[None], (task.n_cls, task.K, cfg.text_width))
+
+    def step(x, inputs):
+        p, k, v = inputs
+        return cross_residual_block(x, k, v, p, cfg.text_heads, bias), None
+
+    x, _ = jax.lax.scan(step, x, (t["blocks"], kv["k"], kv["v"]))
+    x = layer_norm(x, t["ln_final"])  # (n_cls, K, d_t) — rows ARE the prompts
+    return jnp.einsum(
+        "ckd,de->cke", x, t["text_projection"], preferred_element_type=jnp.float32
+    ).astype(dtype)
 
 
 def encode_text_with_prompts(
@@ -195,8 +301,14 @@ def encode_text_with_prompts(
     task: RPOTask,
     text_x: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Masked text tower -> prompt-position features (n_cls, K, embed)."""
+    """Masked text tower -> prompt-position features (n_cls, K, embed).
+
+    When the frozen bundle carries the per-task KV cache (make_frozen
+    default) and no text_x override is given, dispatches to the
+    prompt-rows-only fast path."""
     frozen = _as_frozen(frozen, task)
+    if text_x is None and "text_kv" in frozen:
+        return encode_text_prompts_cached(prompts, frozen, task)
     cfg = task.cfg
     t = frozen["clip"]["text"]
     if text_x is None:

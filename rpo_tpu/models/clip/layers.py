@@ -20,7 +20,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from rpo_tpu.ops.attention import multihead_attention
+from rpo_tpu.ops.attention import (
+    multihead_attention,
+    multihead_attention_cached,
+    multihead_attention_kv,
+)
 
 
 def layer_norm(x: jax.Array, params: dict, eps: float = 1e-5) -> jax.Array:
@@ -58,6 +62,42 @@ def residual_block(
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     x = x + multihead_attention(layer_norm(x, params["ln_1"]), params["attn"], n_heads, bias)
+    x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
+    return x
+
+
+def residual_block_kv(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+):
+    """residual_block that also returns this layer's (k, v) heads
+    ((B, H, L, Dh)) — the per-layer state the RPO frozen-text cache stores."""
+    attn_out, k, v = multihead_attention_kv(
+        layer_norm(x, params["ln_1"]), params["attn"], n_heads, bias
+    )
+    x = x + attn_out
+    x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
+    return x, k, v
+
+
+def cross_residual_block(
+    x: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Residual block whose attention reads precomputed (k, v) heads
+    instead of self-attending: the query rows never contribute keys or
+    values.  Exactly the per-row computation of ``residual_block`` for a
+    row whose attention mask blocks every query-row column (the RPO
+    read-only prompt rows, /root/reference/trainers/rpo.py:144-151)."""
+    x = x + multihead_attention_cached(
+        layer_norm(x, params["ln_1"]), k, v, params["attn"], n_heads, bias
+    )
     x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
     return x
 

@@ -91,6 +91,26 @@ def dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _split_qkv(x: jax.Array, params: dict, n_heads: int):
+    """Fused QKV projection -> per-head (B, H, L, Dh) triplet."""
+    B, L, D = x.shape
+    head_dim = D // n_heads
+    qkv = jnp.einsum(
+        "bld,de->ble", x, params["qkv_w"], preferred_element_type=jnp.float32
+    ).astype(x.dtype) + params["qkv_b"].astype(x.dtype)
+    qkv = qkv.reshape(B, L, 3, n_heads, head_dim)
+    return tuple(qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+
+def _out_proj(out: jax.Array, params: dict, dtype) -> jax.Array:
+    """(B, H, L, Dh) attention output -> merged (B, L, D) projection."""
+    B, H, L, Dh = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+    return jnp.einsum(
+        "bld,de->ble", out, params["out_w"], preferred_element_type=jnp.float32
+    ).astype(dtype) + params["out_b"].astype(dtype)
+
+
 def multihead_attention(
     x: jax.Array,
     params: dict,
@@ -103,16 +123,42 @@ def multihead_attention(
     Weight layout is (in, out) so application is ``x @ w`` (torch stores
     the transpose; the checkpoint converter handles it).
     """
-    B, L, D = x.shape
-    head_dim = D // n_heads
-    qkv = jnp.einsum(
-        "bld,de->ble", x, params["qkv_w"], preferred_element_type=jnp.float32
-    ).astype(x.dtype) + params["qkv_b"].astype(x.dtype)
-    qkv = qkv.reshape(B, L, 3, n_heads, head_dim)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    q, k, v = _split_qkv(x, params, n_heads)
     out = dot_product_attention(q, k, v, bias)
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-    out = jnp.einsum(
-        "bld,de->ble", out, params["out_w"], preferred_element_type=jnp.float32
-    ).astype(x.dtype) + params["out_b"].astype(x.dtype)
-    return out
+    return _out_proj(out, params, x.dtype)
+
+
+def multihead_attention_kv(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+):
+    """Like multihead_attention, but also returns the (k, v) heads
+    ((B, H, L, Dh) each) so a caller can cache them for later
+    cross-attention (the RPO frozen-text KV cache)."""
+    q, k, v = _split_qkv(x, params, n_heads)
+    out = dot_product_attention(q, k, v, bias)
+    return _out_proj(out, params, x.dtype), k, v
+
+
+def multihead_attention_cached(
+    x_q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    params: dict,
+    n_heads: int,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Cross-attention of query rows x_q (B, Lq, D) against precomputed
+    key/value heads k, v (B, H, Lk, Dh): only the q slice of the fused QKV
+    projection is computed (1/3 of the projection FLOPs)."""
+    B, Lq, D = x_q.shape
+    head_dim = D // n_heads
+    q = jnp.einsum(
+        "bld,de->ble", x_q, params["qkv_w"][:, :D],
+        preferred_element_type=jnp.float32,
+    ).astype(x_q.dtype) + params["qkv_b"][:D].astype(x_q.dtype)
+    q = q.reshape(B, Lq, n_heads, head_dim).transpose(0, 2, 1, 3)
+    out = dot_product_attention(q, k.astype(x_q.dtype), v.astype(x_q.dtype), bias)
+    return _out_proj(out, params, x_q.dtype)
