@@ -237,6 +237,11 @@ def get_cfg_default() -> CfgNode:
                 # identical sequential SGD; amortizes per-step host->device
                 # round trips (dominant on remote-attached TPUs).  1 = off.
                 "STEPS_PER_DISPATCH": 8,
+                # AOT-compile train/eval programs on background threads at
+                # build time, overlapping XLA compilation with the data
+                # pipeline (the reference has no compile step; this hides
+                # most of ours).  Non-fatal if a prewarm fails.
+                "PREWARM_COMPILE": True,
             },
             "TEST": {
                 "EVALUATOR": "Classification",

@@ -143,6 +143,103 @@ class CLIPMethodTrainer(TrainerBase):
         self._text_features = jax.jit(text_features) if text_features else None
         self._text_f_cache = None
         assert hasattr(self, "_frozen"), "build_method must set self._frozen"
+        self._prewarm_threads = []
+
+    def before_train(self) -> None:
+        super().before_train()
+        if bool(self.cfg.TRAIN.PREWARM_COMPILE):
+            self._prewarm_compiles()
+
+    def _prewarm_compiles(self) -> None:
+        """AOT-compile the phase programs on background threads.
+
+        The reference has no compile step; ours is the cold-start cost
+        (XLA). Kicking the train-group program and the eval/text programs
+        off concurrently — before the first batch is even decoded —
+        overlaps compilation with the host-side data pipeline and with
+        each other, so the first real dispatch of each phase hits a warm
+        jit cache.  Dummy zero batches at the loader's exact padded
+        shapes make the avals identical to the real calls.
+
+        Started from before_train (not build time) so eval-only runs
+        never compile the training program, and joined at interpreter
+        exit — a daemon thread killed inside a native XLA compile can
+        take the process down with it.
+        """
+        import atexit
+        import threading
+
+        cfg = self.cfg
+        from rpo_tpu.parallel.dp import pad_multiple
+
+        n_dev = jax.device_count()
+        H, W = int(cfg.INPUT.SIZE[0]), int(cfg.INPUT.SIZE[1])
+        train_b = pad_multiple(int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE), n_dev)
+        test_b = pad_multiple(int(cfg.DATALOADER.TEST.BATCH_SIZE), n_dev)
+        group = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+        num_batches = len(self.dm.train_loader_x)
+        frozen = self._frozen
+
+        def dummy_params():
+            return jax.tree_util.tree_map(jnp.zeros_like, self.params)
+
+        def batch(b):
+            return (
+                jnp.zeros((b, H, W, 3), jnp.uint8),
+                jnp.zeros((b,), jnp.int32),
+                jnp.ones((b,), jnp.float32),
+            )
+
+        def warm_train():
+            lr = jnp.float32(0.0)
+            imgs, labels, mask = batch(train_b)
+            if group > 1 and num_batches > 0:
+                sizes = {min(group, num_batches)}
+                if num_batches % group:
+                    sizes.add(num_batches % group)
+                for g in sorted(sizes, reverse=True):
+                    tile = lambda x: jnp.broadcast_to(x[None], (g,) + x.shape)
+                    self._train_multi_step(
+                        dummy_params(), sgd_init(dummy_params()), frozen,
+                        tile(imgs), tile(labels), tile(mask), lr,
+                    )
+            else:
+                self._train_step(
+                    dummy_params(), sgd_init(dummy_params()), frozen,
+                    imgs, labels, mask, lr,
+                )
+
+        def warm_eval():
+            p = dummy_params()
+            text_f = (
+                self._text_features(p, frozen)
+                if self._text_features is not None
+                else None
+            )
+            self._eval_step(p, frozen, text_f, jnp.zeros((test_b, H, W, 3), jnp.uint8))
+
+        def guarded(fn):
+            def run():
+                try:
+                    fn()
+                except Exception as exc:  # prewarm must never kill a run —
+                    # the lazy jit path compiles on first use regardless
+                    print(f"(!) compile prewarm {fn.__name__} failed: {exc}")
+
+            return run
+
+        for fn in (warm_train, warm_eval):
+            t = threading.Thread(
+                target=guarded(fn), daemon=True, name=f"prewarm-{fn.__name__}"
+            )
+            t.start()
+            self._prewarm_threads.append(t)
+        atexit.register(self._join_prewarm)
+
+    def _join_prewarm(self) -> None:
+        for t in self._prewarm_threads:
+            t.join()
+        self._prewarm_threads = []
 
     # -- lifecycle hooks ----------------------------------------------------
     def forward_backward(self, batch) -> Dict[str, float]:

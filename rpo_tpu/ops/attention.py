@@ -75,7 +75,16 @@ def dot_product_attention(
     q, k, v: (B, H, L, Dh).  bias: broadcastable to (B, H, Lq, Lk), float32
     additive.  Returns (B, H, Lq, Dh) in v.dtype.
     """
-    if bias is not None and use_pallas_attention():
+    # The Pallas kernel handles square self-attention with a row-aligned
+    # bias (its block shape is (L, L)); the KV-cached cross-attention
+    # (q_len=K, kv_len=max_seq, row-broadcast bias) is a tiny contraction
+    # XLA handles well and Pallas cannot tile (kv_len < 128, != q_len).
+    if (
+        bias is not None
+        and q.shape[-2] == k.shape[-2]
+        and bias.shape[-2] == q.shape[-2]
+        and use_pallas_attention()
+    ):
         from rpo_tpu.ops.pallas_attention import pallas_attention
 
         return pallas_attention(q, k, v, bias)
