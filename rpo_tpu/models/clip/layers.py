@@ -24,6 +24,7 @@ from rpo_tpu.ops.attention import (
     multihead_attention,
     multihead_attention_cached,
     multihead_attention_kv,
+    multihead_attention_rect,
 )
 
 
@@ -80,6 +81,23 @@ def residual_block_kv(
     x = x + attn_out
     x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
     return x, k, v
+
+
+def rect_residual_block(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    n_kv: int,
+) -> jax.Array:
+    """Residual block whose attention lets every row read only the first
+    ``n_kv`` rows — full self-attention under a block-column mask, with
+    the masked K/V never computed and no bias materialized (the RPO
+    eval-path vision tower)."""
+    x = x + multihead_attention_rect(
+        layer_norm(x, params["ln_1"]), params["attn"], n_heads, n_kv
+    )
+    x = x + mlp(layer_norm(x, params["ln_2"]), params["mlp"])
+    return x
 
 
 def cross_residual_block(

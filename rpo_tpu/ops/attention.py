@@ -75,19 +75,21 @@ def dot_product_attention(
     q, k, v: (B, H, L, Dh).  bias: broadcastable to (B, H, Lq, Lk), float32
     additive.  Returns (B, H, Lq, Dh) in v.dtype.
     """
-    # The Pallas kernel handles square self-attention with a row-aligned
-    # bias (its block shape is (L, L)); the KV-cached cross-attention
-    # (q_len=K, kv_len=max_seq, row-broadcast bias) is a tiny contraction
-    # XLA handles well and Pallas cannot tile (kv_len < 128, != q_len).
-    if (
-        bias is not None
-        and q.shape[-2] == k.shape[-2]
-        and bias.shape[-2] == q.shape[-2]
-        and use_pallas_attention()
-    ):
-        from rpo_tpu.ops.pallas_attention import pallas_attention
+    # Pallas kernel coverage: (a) bias-free attention, square or
+    # rectangular (the RPO eval tower: q over all rows, k/v over frozen
+    # columns only); (b) square self-attention with a row-aligned bias.
+    # The KV-cached text cross-attention (q_len=K, kv_len=max_seq,
+    # row-broadcast bias) is a tiny contraction XLA handles well and
+    # Pallas cannot tile (kv_len < 128, != q_len).
+    if use_pallas_attention():
+        if bias is None:
+            from rpo_tpu.ops.pallas_attention import pallas_rect_attention
 
-        return pallas_attention(q, k, v, bias)
+            return pallas_rect_attention(q, k, v)
+        if q.shape[-2] == k.shape[-2] and bias.shape[-2] == q.shape[-2]:
+            from rpo_tpu.ops.pallas_attention import pallas_attention
+
+            return pallas_attention(q, k, v, bias)
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5
     logits = jnp.einsum(
@@ -149,6 +151,34 @@ def multihead_attention_kv(
     q, k, v = _split_qkv(x, params, n_heads)
     out = dot_product_attention(q, k, v, bias)
     return _out_proj(out, params, x.dtype), k, v
+
+
+def multihead_attention_rect(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    n_kv: int,
+) -> jax.Array:
+    """Self-attention where only the first ``n_kv`` rows contribute keys
+    and values: queries for all L rows, k/v for x[:, :n_kv].  Equivalent
+    to full self-attention under a mask blocking columns >= n_kv —
+    without computing the masked K/V or materializing any bias."""
+    B, L, D = x.shape
+    head_dim = D // n_heads
+    q = jnp.einsum(
+        "bld,de->ble", x, params["qkv_w"][:, :D],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + params["qkv_b"][:D].astype(x.dtype)
+    kv = jnp.einsum(
+        "bld,de->ble", x[:, :n_kv], params["qkv_w"][:, D:],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + params["qkv_b"][D:].astype(x.dtype)
+    q = q.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
+    kv = kv.reshape(B, n_kv, 2, n_heads, head_dim)
+    k = kv[:, :, 0].transpose(0, 2, 1, 3)
+    v = kv[:, :, 1].transpose(0, 2, 1, 3)
+    out = dot_product_attention(q, k, v, None)
+    return _out_proj(out, params, x.dtype)
 
 
 def multihead_attention_cached(

@@ -49,6 +49,76 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Bias-free attention: q rows may outnumber k/v rows (the RPO eval
+    tower: 221 query rows attend to the 197 frozen columns — the masked
+    prompt columns are simply never materialized)."""
+    q = q_ref[0, 0]  # (Lq, D)
+    k = k_ref[0, 0]  # (Lk, D)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(w.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _fwd_rect(q, k, v, interpret=False):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    memspace = pltpu.VMEM if _HAS_PLTPU else None
+    kw = {"memory_space": memspace} if memspace is not None else {}
+    q_spec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0), **kw)
+    kv_spec = pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0), **kw)
+    return pl.pallas_call(
+        functools.partial(_rect_kernel, scale=D ** -0.5),
+        grid=(B, H),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_rect_attention(q, k, v, interpret=False):
+    """Fused bias-free attention; q (B,H,Lq,D) vs k,v (B,H,Lk,D)."""
+    return _fwd_rect(q, k, v, interpret)
+
+
+def _rect_ref_forward(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
+    return w, jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+
+
+def _rect_fwd_rule(q, k, v, interpret=False):
+    return _fwd_rect(q, k, v, interpret), (q, k, v)
+
+
+def _rect_bwd_rule(interpret, res, g):
+    q, k, v = res
+    w, _ = _rect_ref_forward(q, k, v)
+    scale = q.shape[-1] ** -0.5
+    w_v = w.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", w_v, g)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
+    ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv
+
+
+pallas_rect_attention.defvjp(_rect_fwd_rule, _rect_bwd_rule)
+
+
 def _bias_spec_for(bias, L, kw):
     """BlockSpec that reads a shared (1,1,L,L) bias in place instead of
     materializing a (B,1,L,L) broadcast copy in HBM."""
