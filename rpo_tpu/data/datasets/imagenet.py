@@ -1,5 +1,14 @@
-"""ImageNet. Behavior: /root/reference/datasets/imagenet.py (item list
-cached in preprocessed.pkl; the val set doubles as both val and test)."""
+"""ImageNet — train on the train folder, evaluate on the val folder.
+
+Behavior contract (/root/reference/datasets/imagenet.py): the on-disk
+formats are pinned — ``preprocessed.pkl`` memoizes the full item lists
+under keys {train, test}; the few-shot cache lives at
+``split_fewshot/shot_{N}-seed_{S}.pkl`` with a TRAIN-ONLY payload (no
+few-shot val exists); ``classnames.txt`` lines are
+``<wnid> <classname words...>``; and the val folder doubles as both val
+and test.  Unlike the reference, the few-shot/subsample tail is the
+shared machinery in splits.py rather than inline code.
+"""
 from __future__ import annotations
 
 import os
@@ -7,84 +16,77 @@ import pickle
 from collections import OrderedDict
 
 from rpo_tpu.data.datum import Datum, DatasetBase
-from rpo_tpu.data.splits import listdir_nohidden, mkdir_if_missing, subsample_classes
+from rpo_tpu.data.splits import (
+    listdir_nohidden,
+    load_or_create_fewshot,
+    subsample_classes,
+)
 from rpo_tpu.engine.registry import DATASET_REGISTRY
+
+from .common import FewShotDataset
 
 
 @DATASET_REGISTRY.register()
-class ImageNet(DatasetBase):
+class ImageNet(FewShotDataset):
     dataset_dir = "imagenet"
 
     def __init__(self, cfg):
-        root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
-        self.dataset_dir = os.path.join(root, self.dataset_dir)
-        self.image_dir = os.path.join(self.dataset_dir, "images")
-        self.preprocessed = os.path.join(self.dataset_dir, "preprocessed.pkl")
-        self.split_fewshot_dir = os.path.join(self.dataset_dir, "split_fewshot")
-        mkdir_if_missing(self.split_fewshot_dir)
+        dataset_dir = self.resolve_root(cfg)
+        self.image_dir = os.path.join(dataset_dir, "images")
 
-        if os.path.exists(self.preprocessed):
-            with open(self.preprocessed, "rb") as f:
-                preprocessed = pickle.load(f)
-            train, test = preprocessed["train"], preprocessed["test"]
-        else:
-            text_file = os.path.join(self.dataset_dir, "classnames.txt")
-            classnames = self.read_classnames(text_file)
-            train = self.read_data(classnames, "train")
-            # standard practice: evaluate on the val set (imagenet.py:33-35)
-            test = self.read_data(classnames, "val")
-            with open(self.preprocessed, "wb") as f:
-                pickle.dump(
-                    {"train": train, "test": test},
-                    f,
-                    protocol=pickle.HIGHEST_PROTOCOL,
-                )
+        train, test = self._item_lists(dataset_dir)
+        train, _ = load_or_create_fewshot(
+            self, train, None, self.split_fewshot_dir,
+            int(cfg.DATASET.NUM_SHOTS), int(cfg.SEED),
+        )
+        train, test = subsample_classes(
+            train, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES
+        )
+        # the val split IS the test split (imagenet.py:61)
+        DatasetBase.__init__(self, train_x=train, val=test, test=test)
 
-        num_shots = int(cfg.DATASET.NUM_SHOTS)
-        if num_shots >= 1:
-            seed = int(cfg.SEED)
-            cache = os.path.join(
-                self.split_fewshot_dir, f"shot_{num_shots}-seed_{seed}.pkl"
+    def _item_lists(self, dataset_dir: str):
+        """Full (train, test) Datum lists, memoized in preprocessed.pkl —
+        enumerating the 1.28M-image tree is the expensive part."""
+        cache = os.path.join(dataset_dir, "preprocessed.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                data = pickle.load(f)
+            return data["train"], data["test"]
+        wnid_to_name = self.read_classnames(
+            os.path.join(dataset_dir, "classnames.txt")
+        )
+        train = self._scan_split("train", wnid_to_name)
+        # standard practice: report accuracy on the val images
+        test = self._scan_split("val", wnid_to_name)
+        with open(cache, "wb") as f:
+            pickle.dump(
+                {"train": train, "test": test}, f, protocol=pickle.HIGHEST_PROTOCOL
             )
-            if os.path.exists(cache):
-                print(f"Loading preprocessed few-shot data from {cache}")
-                with open(cache, "rb") as f:
-                    train = pickle.load(f)["train"]
-            else:
-                train = self.generate_fewshot_dataset(train, num_shots=num_shots)
-                print(f"Saving preprocessed few-shot data to {cache}")
-                with open(cache, "wb") as f:
-                    pickle.dump({"train": train}, f, protocol=pickle.HIGHEST_PROTOCOL)
-
-        subsample = cfg.DATASET.SUBSAMPLE_CLASSES
-        train, test = subsample_classes(train, test, subsample=subsample)
-        # val == test (imagenet.py:61)
-        super().__init__(train_x=train, val=test, test=test)
+        return train, test
 
     @staticmethod
-    def read_classnames(text_file):
-        """classnames.txt lines: '<wnid> <class name words...>'."""
-        classnames = OrderedDict()
+    def read_classnames(text_file: str) -> "OrderedDict[str, str]":
+        """Parse classnames.txt: each line '<wnid> <name words...>'."""
+        mapping = OrderedDict()
         with open(text_file) as f:
             for line in f:
-                parts = line.strip().split(" ")
-                if parts and parts[0]:
-                    classnames[parts[0]] = " ".join(parts[1:])
-        return classnames
+                fields = line.split()
+                if fields:
+                    mapping[fields[0]] = " ".join(fields[1:])
+        return mapping
 
-    def read_data(self, classnames, split_dir):
-        split_dir = os.path.join(self.image_dir, split_dir)
-        folders = sorted(f.name for f in os.scandir(split_dir) if f.is_dir())
-        items = []
-        for label, folder in enumerate(folders):
-            imnames = listdir_nohidden(os.path.join(split_dir, folder))
-            classname = classnames[folder]
-            for imname in imnames:
-                items.append(
-                    Datum(
-                        impath=os.path.join(split_dir, folder, imname),
-                        label=label,
-                        classname=classname,
-                    )
-                )
-        return items
+    def _scan_split(self, split: str, wnid_to_name) -> list:
+        """One Datum per image under images/<split>/<wnid>/, labels in
+        sorted-wnid order (the reference's class indexing)."""
+        base = os.path.join(self.image_dir, split)
+        wnids = sorted(e.name for e in os.scandir(base) if e.is_dir())
+        return [
+            Datum(
+                impath=os.path.join(base, wnid, fname),
+                label=label,
+                classname=wnid_to_name[wnid],
+            )
+            for label, wnid in enumerate(wnids)
+            for fname in listdir_nohidden(os.path.join(base, wnid))
+        ]

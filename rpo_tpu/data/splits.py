@@ -170,9 +170,24 @@ def load_or_create_fewshot(
     dataset, train, val, split_fewshot_dir: str, num_shots: int, seed: int
 ):
     """pkl-cached few-shot subset keyed by (shots, seed) — cache format and
-    path compatible with the reference (shot_{N}-seed_{S}.pkl)."""
+    path compatible with the reference (shot_{N}-seed_{S}.pkl).
+
+    ``val=None`` marks a dataset without a few-shot val split (ImageNet,
+    whose val folder doubles as the test set): the payload then contains
+    only the train list, matching the reference's ImageNet cache format
+    (/root/reference/datasets/imagenet.py:40-56)."""
     if num_shots < 1:
         return train, val
+
+    def sample():
+        t = dataset.generate_fewshot_dataset(train, num_shots=num_shots)
+        v = (
+            None
+            if val is None
+            else dataset.generate_fewshot_dataset(val, num_shots=min(num_shots, 4))
+        )
+        return t, v
+
     mkdir_if_missing(split_fewshot_dir)
     preprocessed = os.path.join(split_fewshot_dir, f"shot_{num_shots}-seed_{seed}.pkl")
     if os.path.exists(preprocessed):
@@ -180,7 +195,7 @@ def load_or_create_fewshot(
         try:
             with open(preprocessed, "rb") as f:
                 data = pickle.load(f)
-            return data["train"], data["val"]
+            return data["train"], data.get("val")
         except Exception as exc:
             # e.g. a cache written by the torch/dassl reference sharing the
             # same data root (unpicklable here).  Regenerate in memory but
@@ -189,12 +204,10 @@ def load_or_create_fewshot(
                 f"(!) Could not load few-shot cache {preprocessed} ({exc}); "
                 "regenerating without overwriting"
             )
-            train = dataset.generate_fewshot_dataset(train, num_shots=num_shots)
-            val = dataset.generate_fewshot_dataset(val, num_shots=min(num_shots, 4))
-            return train, val
-    train = dataset.generate_fewshot_dataset(train, num_shots=num_shots)
-    val = dataset.generate_fewshot_dataset(val, num_shots=min(num_shots, 4))
+            return sample()
+    train, val = sample()
+    payload = {"train": train} if val is None else {"train": train, "val": val}
     print(f"Saving preprocessed few-shot data to {preprocessed}")
     with open(preprocessed, "wb") as f:
-        pickle.dump({"train": train, "val": val}, f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     return train, val

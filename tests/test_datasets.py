@@ -134,6 +134,45 @@ def test_fgvc_aircraft_variant_files(tmp_path):
     assert len(ds.train_x) == 3 and len(ds.val) == 2 and len(ds.test) == 2
 
 
+def test_imagenet_contract(tmp_path):
+    """ImageNet on-disk contract (/root/reference/datasets/imagenet.py):
+    preprocessed.pkl memoizes {train, test}; the few-shot cache payload
+    is TRAIN-ONLY; val == test; labels follow sorted wnid order."""
+    import pickle
+
+    inet = tmp_path / "imagenet"
+    os.makedirs(inet, exist_ok=True)
+    (inet / "classnames.txt").write_text(
+        "n00000002 great white shark\nn00000001 goldfish\n"
+    )
+    for split, per in [("train", 4), ("val", 2)]:
+        for wnid in ["n00000002", "n00000001"]:
+            for i in range(per):
+                _img(str(inet / "images" / split / wnid / f"{i}.jpg"))
+
+    ds = DATASET_REGISTRY.get("ImageNet")(_cfg(tmp_path, "ImageNet"))
+    assert ds.classnames == ["goldfish", "great white shark"]  # sorted wnids
+    assert len(ds.train_x) == 8 and len(ds.test) == 4
+    assert [d.impath for d in ds.val] == [d.impath for d in ds.test]
+    assert os.path.exists(inet / "preprocessed.pkl")
+
+    # second construction must come from the cache (delete the images dir)
+    import shutil
+
+    shutil.rmtree(inet / "images")
+    ds2 = DATASET_REGISTRY.get("ImageNet")(_cfg(tmp_path, "ImageNet", shots=2))
+    assert len(ds2.train_x) == 4  # 2 shots x 2 classes
+    fs = inet / "split_fewshot" / "shot_2-seed_1.pkl"
+    assert fs.exists()
+    with open(fs, "rb") as f:
+        payload = pickle.load(f)
+    assert set(payload) == {"train"}  # train-only payload, like the reference
+
+    # base/new subsample halves (relabeled contiguously)
+    ds3 = DATASET_REGISTRY.get("ImageNet")(_cfg(tmp_path, "ImageNet", subsample="new"))
+    assert ds3.classnames == ["great white shark"]
+
+
 def test_imagenet_a_folder_enumeration(tmp_path):
     ina = tmp_path / "imagenet-adversarial"
     img_dir = ina / "imagenet-a"
