@@ -235,8 +235,13 @@ def get_cfg_default() -> CfgNode:
                 # Fuse N optimizer steps into one jitted dispatch
                 # (lax.scan over the batch-group axis).  Numerically
                 # identical sequential SGD; amortizes per-step host->device
-                # round trips (dominant on remote-attached TPUs).  1 = off.
-                "STEPS_PER_DISPATCH": 8,
+                # round trips.  1 = off (default): with the async dispatch
+                # queue + device_prefetch the grouped program gains only
+                # ~1% steady-state but costs ~100s of extra XLA compile on
+                # this TPU backend (measured cold 16-shot CLI: 116s at
+                # G=1 vs 189s at G=8).  Raise for long runs where the
+                # compile amortizes.
+                "STEPS_PER_DISPATCH": 1,
                 # AOT-compile train/eval programs on background threads at
                 # build time, overlapping XLA compilation with the data
                 # pipeline (the reference has no compile step; this hides
