@@ -102,23 +102,42 @@ def dot_product_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _head_proj(x: jax.Array, w: jax.Array, b: jax.Array, n_heads: int) -> jax.Array:
+    """(B, L, D) @ (D, H*Dh) -> (B, H, L, Dh) with the head split and
+    transpose folded INTO the matmul output layout.
+
+    A reshape+transpose after a plain (D, E) matmul lowers to a real
+    layout copy on TPU (measured ~10% of the eval step); phrasing the
+    projection as ``bld,dhk->bhlk`` lets XLA emit the target layout
+    directly.
+    """
+    D = x.shape[-1]
+    head_dim = w.shape[-1] // n_heads
+    w = w.reshape(D, n_heads, head_dim)
+    b = b.reshape(n_heads, head_dim)
+    out = jnp.einsum(
+        "bld,dhk->bhlk", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return out + b[None, :, None, :].astype(x.dtype)
+
+
 def _split_qkv(x: jax.Array, params: dict, n_heads: int):
     """Fused QKV projection -> per-head (B, H, L, Dh) triplet."""
-    B, L, D = x.shape
-    head_dim = D // n_heads
-    qkv = jnp.einsum(
-        "bld,de->ble", x, params["qkv_w"], preferred_element_type=jnp.float32
-    ).astype(x.dtype) + params["qkv_b"].astype(x.dtype)
-    qkv = qkv.reshape(B, L, 3, n_heads, head_dim)
-    return tuple(qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    D = x.shape[-1]
+    w, b = params["qkv_w"], params["qkv_b"]
+    return tuple(
+        _head_proj(x, w[:, i * D : (i + 1) * D], b[i * D : (i + 1) * D], n_heads)
+        for i in range(3)
+    )
 
 
 def _out_proj(out: jax.Array, params: dict, dtype) -> jax.Array:
-    """(B, H, L, Dh) attention output -> merged (B, L, D) projection."""
+    """(B, H, L, Dh) attention output -> merged (B, L, D) projection,
+    with the head merge folded into the matmul (see _head_proj)."""
     B, H, L, Dh = out.shape
-    out = out.transpose(0, 2, 1, 3).reshape(B, L, H * Dh)
+    w = params["out_w"].reshape(H, Dh, H * Dh)
     return jnp.einsum(
-        "bld,de->ble", out, params["out_w"], preferred_element_type=jnp.float32
+        "bhlk,hkd->bld", out, w, preferred_element_type=jnp.float32
     ).astype(dtype) + params["out_b"].astype(dtype)
 
 
@@ -163,20 +182,11 @@ def multihead_attention_rect(
     and values: queries for all L rows, k/v for x[:, :n_kv].  Equivalent
     to full self-attention under a mask blocking columns >= n_kv —
     without computing the masked K/V or materializing any bias."""
-    B, L, D = x.shape
-    head_dim = D // n_heads
-    q = jnp.einsum(
-        "bld,de->ble", x, params["qkv_w"][:, :D],
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + params["qkv_b"][:D].astype(x.dtype)
-    kv = jnp.einsum(
-        "bld,de->ble", x[:, :n_kv], params["qkv_w"][:, D:],
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + params["qkv_b"][D:].astype(x.dtype)
-    q = q.reshape(B, L, n_heads, head_dim).transpose(0, 2, 1, 3)
-    kv = kv.reshape(B, n_kv, 2, n_heads, head_dim)
-    k = kv[:, :, 0].transpose(0, 2, 1, 3)
-    v = kv[:, :, 1].transpose(0, 2, 1, 3)
+    D = x.shape[-1]
+    w, b = params["qkv_w"], params["qkv_b"]
+    q = _head_proj(x, w[:, :D], b[:D], n_heads)
+    k = _head_proj(x[:, :n_kv], w[:, D : 2 * D], b[D : 2 * D], n_heads)
+    v = _head_proj(x[:, :n_kv], w[:, 2 * D :], b[2 * D :], n_heads)
     out = dot_product_attention(q, k, v, None)
     return _out_proj(out, params, x.dtype)
 
@@ -192,12 +202,7 @@ def multihead_attention_cached(
     """Cross-attention of query rows x_q (B, Lq, D) against precomputed
     key/value heads k, v (B, H, Lk, Dh): only the q slice of the fused QKV
     projection is computed (1/3 of the projection FLOPs)."""
-    B, Lq, D = x_q.shape
-    head_dim = D // n_heads
-    q = jnp.einsum(
-        "bld,de->ble", x_q, params["qkv_w"][:, :D],
-        preferred_element_type=jnp.float32,
-    ).astype(x_q.dtype) + params["qkv_b"][:D].astype(x_q.dtype)
-    q = q.reshape(B, Lq, n_heads, head_dim).transpose(0, 2, 1, 3)
+    D = x_q.shape[-1]
+    q = _head_proj(x_q, params["qkv_w"][:, :D], params["qkv_b"][:D], n_heads)
     out = dot_product_attention(q, k.astype(x_q.dtype), v.astype(x_q.dtype), bias)
     return _out_proj(out, params, x_q.dtype)
