@@ -23,6 +23,7 @@ import glob
 import os
 import pickle
 import time
+from collections import deque
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -157,6 +158,15 @@ class TrainerBase:
     def model_inference(self, images: np.ndarray) -> np.ndarray:
         """images (B, H, W, 3) uint8 -> logits (B, n_cls) numpy."""
         raise NotImplementedError
+
+    def model_inference_async(self, images: np.ndarray):
+        """Like model_inference but MAY return an in-flight device array;
+        test() converts to numpy only when the result is consumed, letting
+        the next batch's dispatch overlap the transfer (the per-batch
+        device->host round trip dominates eval on tunneled TPUs).
+        Subclasses holding jitted eval steps override this to skip the
+        eager conversion; the default is the synchronous path."""
+        return self.model_inference(images)
 
     def get_ckpt_state(self, name: str) -> Dict[str, Any]:
         """Trainable state pytree for a registered model name."""
@@ -403,9 +413,23 @@ class TrainerBase:
             loader = self.dm.test_loader
         print(f"Evaluate on the *{split}* set")
         self.evaluator.reset()
+        # Two-deep dispatch pipeline: enqueue batch i+1's eval before
+        # pulling batch i's logits off the device, so decode/H2D/compute/
+        # D2H overlap instead of paying a serial round trip per batch.
+        pending: deque = deque()
+
+        def drain() -> None:
+            logits_dev, labels, n = pending.popleft()
+            logits = np.asarray(logits_dev, dtype=np.float32)
+            self.evaluator.process(logits[:n], labels[:n])
+
         for batch in loader:
-            n = batch["n"]
-            logits = np.asarray(self.model_inference(batch["img"]))
-            self.evaluator.process(logits[:n], batch["label"][:n])
+            pending.append(
+                (self.model_inference_async(batch["img"]), batch["label"], batch["n"])
+            )
+            if len(pending) > 2:
+                drain()
+        while pending:
+            drain()
         results = self.evaluator.evaluate()
         return float(results["accuracy"])

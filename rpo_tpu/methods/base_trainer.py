@@ -281,15 +281,18 @@ class CLIPMethodTrainer(TrainerBase):
             out.append(summary)
         return out
 
-    def model_inference(self, images: np.ndarray) -> np.ndarray:
+    def model_inference_async(self, images: np.ndarray):
+        """Dispatch the jitted eval step and return the device array —
+        test() defers the numpy conversion so the next batch's dispatch
+        overlaps this one's D2H transfer."""
         if self._text_features is not None and self._text_f_cache is None:
             self._text_f_cache = self._text_features(self.params, self._frozen)
-        return np.asarray(
-            self._eval_step(
-                self.params, self._frozen, self._text_f_cache, jnp.asarray(images)
-            ),
-            dtype=np.float32,
+        return self._eval_step(
+            self.params, self._frozen, self._text_f_cache, jnp.asarray(images)
         )
+
+    def model_inference(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.model_inference_async(images), dtype=np.float32)
 
     # -- checkpoint state ---------------------------------------------------
     def get_ckpt_state(self, name: str):

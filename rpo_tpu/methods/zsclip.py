@@ -67,11 +67,13 @@ class ZeroshotCLIP(TrainerBase):
     def forward_backward(self, batch):
         raise RuntimeError("ZeroshotCLIP is evaluation-only (use --eval-only)")
 
-    def model_inference(self, images: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            self._eval_step(self.clip_params, self.text_features, jnp.asarray(images)),
-            np.float32,
+    def model_inference_async(self, images: np.ndarray):
+        return self._eval_step(
+            self.clip_params, self.text_features, jnp.asarray(images)
         )
+
+    def model_inference(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.model_inference_async(images), np.float32)
 
     # eval-only: nothing to checkpoint
     def save_model(self, epoch, is_best=False):
