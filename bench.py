@@ -134,6 +134,29 @@ def main() -> None:
         check(f"vision-masked (4,12,{S},{S})", 4, 12, S, S, 64, vis_bias)
         check("vision-rect (100,12,221,197)", 8, 12, S, cfg.vision_seq_len, 64, None)
 
+        # paired-head rect tower (the eval hot path) vs the XLA tower
+        from rpo_tpu.models.clip.layers import rect_residual_block
+
+        x = jnp.asarray(r.randn(4, S, cfg.vision_width) * 0.1, jnp.bfloat16)
+        blk = jax.tree_util.tree_map(
+            lambda a: a[0], jax.device_get(frozen["clip"]["visual"]["blocks"])
+        )
+        blk = jax.tree_util.tree_map(jnp.asarray, blk)
+
+        def tower(use):
+            with attn_ops.pallas_attention_scope(use):
+                return jax.jit(
+                    lambda x: rect_residual_block(
+                        x, blk, cfg.vision_heads, cfg.vision_seq_len
+                    )
+                )(x)
+
+        a = np.asarray(tower(True), np.float32)
+        b = np.asarray(tower(False), np.float32)
+        err = np.abs(a - b).max()
+        assert err < 2e-2, f"paired rect tower mismatch: {err}"
+        print(f"pallas gate: paired rect tower max|pallas-xla| = {err:.2e} OK")
+
     _pallas_gate()
 
     # warmup / compile

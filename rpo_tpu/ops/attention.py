@@ -153,6 +153,16 @@ def multihead_attention(
     Weight layout is (in, out) so application is ``x @ w`` (torch stores
     the transpose; the checkpoint converter handles it).
     """
+    head_dim = x.shape[-1] // n_heads
+    if (
+        bias is None
+        and use_pallas_attention()
+        and head_dim == 64
+        and n_heads % 2 == 0
+    ):
+        # unmasked self-attention == the rect tower with n_kv = L; rides
+        # the paired-head kernel (zsclip / CoOp / LP image encoders)
+        return multihead_attention_rect(x, params, n_heads, x.shape[1])
     q, k, v = _split_qkv(x, params, n_heads)
     out = dot_product_attention(q, k, v, bias)
     return _out_proj(out, params, x.dtype)
@@ -181,9 +191,25 @@ def multihead_attention_rect(
     """Self-attention where only the first ``n_kv`` rows contribute keys
     and values: queries for all L rows, k/v for x[:, :n_kv].  Equivalent
     to full self-attention under a mask blocking columns >= n_kv —
-    without computing the masked K/V or materializing any bias."""
+    without computing the masked K/V or materializing any bias.
+
+    On the Pallas path with head_dim 64, HEAD PAIRS are projected as one
+    128-lane "head" (the projection einsums emit the paired layout for
+    free) and attended per-half inside the kernel: head_dim 64 leaves
+    every 128-lane tile half empty, so pairing halves the attention DMA
+    (measured 3.5x kernel / ~15% eval-step win on TPU v5e)."""
     D = x.shape[-1]
     w, b = params["qkv_w"], params["qkv_b"]
+    head_dim = D // n_heads
+    if use_pallas_attention() and head_dim == 64 and n_heads % 2 == 0:
+        from rpo_tpu.ops.pallas_attention import pallas_rect_attention_paired
+
+        H2 = n_heads // 2
+        q2 = _head_proj(x, w[:, :D], b[:D], H2)
+        k2 = _head_proj(x[:, :n_kv], w[:, D : 2 * D], b[D : 2 * D], H2)
+        v2 = _head_proj(x[:, :n_kv], w[:, 2 * D :], b[2 * D :], H2)
+        out = pallas_rect_attention_paired(q2, k2, v2, head_dim)
+        return _out_proj(out, params, x.dtype)
     q = _head_proj(x, w[:, :D], b[:D], n_heads)
     k = _head_proj(x[:, :n_kv], w[:, D : 2 * D], b[D : 2 * D], n_heads)
     v = _head_proj(x[:, :n_kv], w[:, 2 * D :], b[2 * D :], n_heads)

@@ -52,33 +52,50 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     """Bias-free attention: q rows may outnumber k/v rows (the RPO eval
     tower: 221 query rows attend to the 197 frozen columns — the masked
-    prompt columns are simply never materialized)."""
-    q = q_ref[0, 0]  # (Lq, D)
-    k = k_ref[0, 0]  # (Lk, D)
-    v = v_ref[0, 0]
+    prompt columns are simply never materialized).  Each program handles
+    a group of G batch elements (batched dot_general): one-(b,h)-per-
+    program launches thousands of tiny programs whose DMA/launch overhead
+    dominates (measured 1.5x slower at the RPO eval shape)."""
+    q = q_ref[:, 0]  # (G, Lq, D)
+    k = k_ref[:, 0]  # (G, Lk, D)
+    v = v_ref[:, 0]
     s = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     s = s * scale
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     w = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(w.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        w.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+
+
+def _batch_group(B: int, limit: int = 10) -> int:
+    """Largest divisor of B not exceeding `limit` (VMEM headroom at the
+    RPO eval shape caps the per-program group around 10)."""
+    for g in range(min(limit, B), 0, -1):
+        if B % g == 0:
+            return g
+    return 1
 
 
 def _fwd_rect(q, k, v, interpret=False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
+    G = _batch_group(B)
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
-    q_spec = pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0), **kw)
-    kv_spec = pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0), **kw)
+    q_spec = pl.BlockSpec((G, 1, Lq, D), lambda b, h: (b, h, 0, 0), **kw)
+    kv_spec = pl.BlockSpec((G, 1, Lk, D), lambda b, h: (b, h, 0, 0), **kw)
     return pl.pallas_call(
         functools.partial(_rect_kernel, scale=D ** -0.5),
-        grid=(B, H),
+        grid=(B // G, H),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
@@ -117,6 +134,114 @@ def _rect_bwd_rule(interpret, res, g):
 
 
 pallas_rect_attention.defvjp(_rect_fwd_rule, _rect_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Paired-head rect attention: two 64-wide heads share one 128-lane block
+# ---------------------------------------------------------------------------
+
+def _rect_pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, half):
+    """Like _rect_kernel but each "head" is a PAIR of real heads packed
+    along the 128-lane dimension ((..., 2*half) with half=64): head_dim 64
+    leaves every (sublane, 128-lane) tile — and therefore every DMA and
+    MXU pass — half empty.  Packing pairs halves the data movement; the
+    two halves are attended independently inside the program (their
+    scores never mix).  Measured 3.5x over the per-(b,h) kernel at the
+    RPO eval shape (100, 12, 221, 197, 64) on TPU v5e."""
+    q = q_ref[:, 0]  # (G, Lq, 2*half)
+    k = k_ref[:, 0]  # (G, Lk, 2*half)
+    v = v_ref[:, 0]
+    outs = []
+    for h in (0, 1):
+        qh = q[:, :, h * half : (h + 1) * half]
+        kh = k[:, :, h * half : (h + 1) * half]
+        vh = v[:, :, h * half : (h + 1) * half]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                w.astype(vh.dtype), vh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[:, 0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fwd_rect_paired(q2, k2, v2, half, interpret=False):
+    B, H2, Lq, D2 = q2.shape
+    Lk = k2.shape[2]
+    G = _batch_group(B)
+    memspace = pltpu.VMEM if _HAS_PLTPU else None
+    kw = {"memory_space": memspace} if memspace is not None else {}
+    q_spec = pl.BlockSpec((G, 1, Lq, D2), lambda b, h: (b, h, 0, 0), **kw)
+    kv_spec = pl.BlockSpec((G, 1, Lk, D2), lambda b, h: (b, h, 0, 0), **kw)
+    return pl.pallas_call(
+        functools.partial(_rect_pair_kernel, scale=half ** -0.5, half=half),
+        grid=(B // G, H2),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H2, Lq, D2), q2.dtype),
+        interpret=interpret,
+    )(q2, k2, v2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_rect_attention_paired(q2, k2, v2, half=64, interpret=False):
+    """Bias-free attention on the PAIRED-HEAD layout: q2 (B, H/2, Lq,
+    2*half), k2/v2 (B, H/2, Lk, 2*half), where real head 2i occupies
+    lanes [:half] of pair-head i and real head 2i+1 lanes [half:].  The
+    caller produces this layout for free by treating head pairs as one
+    128-wide head in its projection einsums (ops/attention.py)."""
+    return _fwd_rect_paired(q2, k2, v2, half, interpret)
+
+
+def _rect_paired_ref(q2, k2, v2, half):
+    """XLA reference/backward on the paired layout: per-half attention."""
+    scale = half ** -0.5
+    outs = []
+    for h in (0, 1):
+        sl = slice(h * half, (h + 1) * half)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q2[..., sl], k2[..., sl],
+            preferred_element_type=jnp.float32,
+        )
+        w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
+        outs.append(jnp.einsum("bhqk,bhkd->bhqd", w.astype(v2.dtype), v2[..., sl]))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _rect_paired_fwd_rule(q2, k2, v2, half, interpret=False):
+    return _fwd_rect_paired(q2, k2, v2, half, interpret), (q2, k2, v2)
+
+
+def _rect_paired_bwd_rule(half, interpret, res, g):
+    q2, k2, v2 = res
+    scale = half ** -0.5
+    dqs, dks, dvs = [], [], []
+    for h in (0, 1):
+        sl = slice(h * half, (h + 1) * half)
+        q, k, v, gh = q2[..., sl], k2[..., sl], v2[..., sl], g[..., sl]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
+        w_v = w.astype(v.dtype)
+        dvs.append(jnp.einsum("bhqk,bhqd->bhkd", w_v, gh))
+        dw = jnp.einsum("bhqd,bhkd->bhqk", gh, v).astype(jnp.float32)
+        ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+        dqs.append(jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale)
+        dks.append(jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale)
+    cat = lambda xs: jnp.concatenate(xs, axis=-1)
+    return cat(dqs), cat(dks), cat(dvs)
+
+
+pallas_rect_attention_paired.defvjp(_rect_paired_fwd_rule, _rect_paired_bwd_rule)
 
 
 def _bias_spec_for(bias, L, kw):

@@ -80,6 +80,138 @@ def test_rect_backward_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_rect_batched_groups():
+    """The rect kernel groups batch elements per program (_batch_group);
+    a batch needing G>1 must give identical results to per-element."""
+    from rpo_tpu.ops.pallas_attention import _batch_group, pallas_rect_attention
+
+    assert _batch_group(100) == 10
+    assert _batch_group(7) == 7
+    assert _batch_group(13) == 1
+    q, k, v, _ = _inputs(B=6, seed=5)
+    out = pallas_rect_attention(q, k, v, True)  # G=6 grouping
+    per = jnp.concatenate(
+        [
+            pallas_rect_attention(q[i : i + 1], k[i : i + 1], v[i : i + 1], True)
+            for i in range(6)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(per), rtol=1e-6, atol=1e-6)
+
+
+def _pair_heads(x):
+    B, H, L, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H // 2, 2 * D).transpose(0, 2, 1, 3)
+
+
+def test_rect_paired_matches_unpaired():
+    """Paired-head kernel == per-head rect attention after re-pairing."""
+    from rpo_tpu.ops.pallas_attention import (
+        pallas_rect_attention,
+        pallas_rect_attention_paired,
+    )
+
+    q, k, v, _ = _inputs(B=4, H=4, L=12, D=8, seed=6)
+    kr, vr = k[:, :, :9], v[:, :, :9]
+    ref = pallas_rect_attention(q, kr, vr, True)
+    out2 = pallas_rect_attention_paired(
+        _pair_heads(q), _pair_heads(kr), _pair_heads(vr), 8, True
+    )
+    np.testing.assert_allclose(
+        np.asarray(_pair_heads(ref)), np.asarray(out2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_rect_paired_backward():
+    from rpo_tpu.ops.pallas_attention import pallas_rect_attention_paired
+
+    q, k, v, _ = _inputs(B=2, H=2, L=10, D=8, seed=7)
+    q2, k2, v2 = _pair_heads(q), _pair_heads(k[:, :, :6]), _pair_heads(v[:, :, :6])
+
+    def loss_pallas(q2, k2, v2):
+        return jnp.sum(pallas_rect_attention_paired(q2, k2, v2, 8, True) ** 2)
+
+    def loss_ref(q2, k2, v2):
+        outs = []
+        for h in (0, 1):
+            sl = slice(h * 8, (h + 1) * 8)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q2[..., sl], k2[..., sl]) * (8 ** -0.5)
+            w = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            outs.append(jnp.einsum("bhqk,bhkd->bhqd", w.astype(v2.dtype), v2[..., sl]))
+        return jnp.sum(jnp.concatenate(outs, axis=-1) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q2, k2, v2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_rect_paired_in_tower():
+    """multihead_attention_rect dispatches to the paired kernel when
+    head_dim==64 and heads are even; results must match the XLA tower."""
+    from rpo_tpu.ops import attention as attn_ops
+
+    rng = np.random.RandomState(8)
+    B, L, n_kv, D, H = 2, 9, 7, 128, 2  # head_dim = 64 -> paired path
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    params = {
+        "qkv_w": jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32),
+        "qkv_b": jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32),
+        "out_w": jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32),
+        "out_b": jnp.asarray(rng.randn(D) * 0.01, jnp.float32),
+    }
+    ref = attn_ops.multihead_attention_rect(x, params, H, n_kv)
+    # force the pallas branch under interpret mode via monkeypatched flag
+    import rpo_tpu.ops.pallas_attention as pa
+
+    orig = pa.pallas_rect_attention_paired
+
+    def interp(q2, k2, v2, half=64, interpret=False):
+        return orig(q2, k2, v2, half, True)
+
+    pa_flag = attn_ops.use_pallas_attention
+    try:
+        attn_ops.use_pallas_attention = lambda: True
+        import rpo_tpu.ops.pallas_attention as pmod
+
+        pmod.pallas_rect_attention_paired = interp
+        out = attn_ops.multihead_attention_rect(x, params, H, n_kv)
+    finally:
+        attn_ops.use_pallas_attention = pa_flag
+        pmod.pallas_rect_attention_paired = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_unmasked_mha_paired_dispatch():
+    """multihead_attention with bias=None and head_dim 64 routes through
+    the paired rect path (n_kv = L) and must match the XLA result."""
+    from rpo_tpu.ops import attention as attn_ops
+    import rpo_tpu.ops.pallas_attention as pmod
+
+    rng = np.random.RandomState(9)
+    B, L, D, H = 2, 11, 128, 2
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    params = {
+        "qkv_w": jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32),
+        "qkv_b": jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32),
+        "out_w": jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32),
+        "out_b": jnp.asarray(rng.randn(D) * 0.01, jnp.float32),
+    }
+    ref = attn_ops.multihead_attention(x, params, H, None)
+    orig = pmod.pallas_rect_attention_paired
+    flag = attn_ops.use_pallas_attention
+    try:
+        attn_ops.use_pallas_attention = lambda: True
+        pmod.pallas_rect_attention_paired = (
+            lambda q2, k2, v2, half=64, interpret=False: orig(q2, k2, v2, half, True)
+        )
+        out = attn_ops.multihead_attention(x, params, H, None)
+    finally:
+        attn_ops.use_pallas_attention = flag
+        pmod.pallas_rect_attention_paired = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_shared_bias_broadcast():
     q, k, v, _ = _inputs(seed=2)
     L = q.shape[2]
