@@ -32,21 +32,25 @@ except Exception:  # pragma: no cover
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0, 0]  # (L, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    bias = bias_ref[0, 0]  # (L, L) float32
+    q = q_ref[:, 0]  # (G, L, D)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    bias = bias_ref[:, 0]  # (G|1, L, L) float32 — broadcasts over G when shared
     s = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     s = s * scale + bias
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     w = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(w.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        w.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
 def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
@@ -244,26 +248,29 @@ def _rect_paired_bwd_rule(half, interpret, res, g):
 pallas_rect_attention_paired.defvjp(_rect_paired_fwd_rule, _rect_paired_bwd_rule)
 
 
-def _bias_spec_for(bias, L, kw):
+def _bias_spec_for(bias, G, L, kw):
     """BlockSpec that reads a shared (1,1,L,L) bias in place instead of
     materializing a (B,1,L,L) broadcast copy in HBM."""
     if bias.shape[0] == 1:
         return pl.BlockSpec((1, 1, L, L), lambda b, h: (0, 0, 0, 0), **kw)
-    return pl.BlockSpec((1, 1, L, L), lambda b, h: (b, 0, 0, 0), **kw)
+    return pl.BlockSpec((G, 1, L, L), lambda b, h: (b, 0, 0, 0), **kw)
 
 
 def _fwd_pallas(q, k, v, bias, interpret=False):
     B, H, L, D = q.shape
     scale = D ** -0.5
     bias = bias.astype(jnp.float32)
+    # per-batch biases ride in (G,1,L,L) blocks; they are f32 (L,L) maps,
+    # so cap the group harder than the bias-free rect kernel
+    G = _batch_group(B, limit=4 if bias.shape[0] != 1 else 10)
 
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
-    qkv_spec = pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0), **kw)
-    bias_spec = _bias_spec_for(bias, L, kw)
+    qkv_spec = pl.BlockSpec((G, 1, L, D), lambda b, h: (b, h, 0, 0), **kw)
+    bias_spec = _bias_spec_for(bias, G, L, kw)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(B, H),
+        grid=(B // G, H),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
