@@ -199,6 +199,57 @@ def main() -> None:
     eval_dt = min(eval_passes)
     eval_imgs_per_sec = n_eval * EVAL_BATCH / eval_dt
 
+    # Analytic FLOP counts (XLA cost_analysis counts a lax.scan body once,
+    # not x layers, so it under-reports ~12x here).  Matmul = 2*M*N*K.
+    # Backward through the prompt-only paths differentiates wrt INPUTS,
+    # never weights (frozen backbone), so bwd ~= fwd for those paths.
+    W, Wt = cfg.vision_width, cfg.text_width
+    Lf, Kp, C, Bt = cfg.vision_seq_len, K, N_CLS, TRAIN_BATCH
+    layers = cfg.vision_layers
+    T_kv = int(task.len_prompts.max())
+    patch_in = 3 * cfg.vision_patch_size ** 2
+
+    def vit_fwd_flops(batch, lq, lk):
+        """Per the rect tower: q rows lq, k/v rows lk, width W."""
+        qkv = 2 * batch * (lq + 2 * lk) * W * W
+        attn = 2 * 2 * batch * lq * lk * W  # QK^T and @V over all heads
+        out = 2 * batch * lq * W * W
+        mlp = 2 * 2 * batch * lq * W * (4 * W)
+        return layers * (qkv + attn + out + mlp) + 2 * batch * (Lf - 1) * patch_in * W
+
+    eval_step_flops = vit_fwd_flops(EVAL_BATCH, Lf + Kp, Lf)
+    # train: frozen vision fwd + prompt-row cross path (fwd+bwd) +
+    # cached-text prompt rows (fwd+bwd)
+    frozen_fwd = vit_fwd_flops(Bt, Lf, Lf)
+    cross_l = (
+        2 * Bt * Kp * W * W * 2  # q proj + out proj
+        + 2 * 2 * Bt * Kp * Lf * W  # cross attention
+        + 2 * 2 * Bt * Kp * W * (4 * W)  # mlp
+    )
+    text_l = (
+        2 * C * Kp * Wt * Wt * 2
+        + 2 * 2 * C * Kp * T_kv * Wt
+        + 2 * 2 * C * Kp * Wt * (4 * Wt)
+    )
+    train_step_flops = frozen_fwd + layers * (2 * cross_l + 2 * text_l)
+    device_name = str(jax.devices()[0])
+    peak = 197e12 if "v5 lite" in device_name else None
+    perf_extras = {
+        "train_step_analytic_gflops": round(train_step_flops / 1e9, 1),
+        "eval_step_analytic_gflops": round(eval_step_flops / 1e9, 1),
+        "train_achieved_tflops": round(train_step_flops * steps_per_sec / 1e12, 1),
+        "eval_achieved_tflops": round(
+            eval_step_flops * eval_imgs_per_sec / EVAL_BATCH / 1e12, 1
+        ),
+    }
+    if peak:
+        perf_extras["train_mfu"] = round(
+            train_step_flops * steps_per_sec / peak, 3
+        )
+        perf_extras["eval_mfu"] = round(
+            eval_step_flops * eval_imgs_per_sec / EVAL_BATCH / peak, 3
+        )
+
     # 16-shot epoch wall-clock estimate: 51 classes * 16 shots / batch 4
     steps_per_epoch = int(np.ceil(N_CLS * 16 / TRAIN_BATCH))
     epoch_seconds = steps_per_epoch / steps_per_sec
@@ -232,7 +283,8 @@ def main() -> None:
                     "eval_vs_baseline": round(
                         eval_imgs_per_sec / REFERENCE_EVAL_IMGS_PER_SEC_ESTIMATE, 3
                     ),
-                    "device": str(jax.devices()[0]),
+                    **perf_extras,
+                    "device": device_name,
                 },
             }
         )

@@ -89,19 +89,24 @@ class CLIPMethodTrainer(TrainerBase):
     def _install_steps(self, train_step, text_features, eval_step) -> None:
         from rpo_tpu.ops.attention import pallas_attention_scope
 
-        # Fused Pallas attention on forward-only (eval) paths: ~14%
-        # faster on TPU v5e.  Training keeps the XLA path — measured
-        # throughput (async-pipelined) is ~15% better there even with the
-        # probs-saving VJP kernel.  RPO_TPU_PALLAS_ATTENTION=1/0 overrides.
+        # Fused Pallas attention on forward-only (eval) paths: 1.45x the
+        # eval step on TPU v5e (paired-head rect kernel).  Training keeps
+        # the XLA path — measured faster at the protocol's batch 4 even
+        # after the kernel work.  Single device only: pallas_call carries
+        # no GSPMD partitioning rule, so under a data-parallel mesh the
+        # eval step stays XLA (correct everywhere, and the collective-
+        # free batch sharding is the bigger lever there).
+        # RPO_TPU_PALLAS_ATTENTION=1/0 overrides both decisions.
         raw_eval, raw_text = eval_step, text_features
+        use_pallas_eval = jax.device_count() == 1
 
         def eval_step(*args):
-            with pallas_attention_scope(True):
+            with pallas_attention_scope(use_pallas_eval):
                 return raw_eval(*args)
 
         if raw_text is not None:
             def text_features(*args):
-                with pallas_attention_scope(True):
+                with pallas_attention_scope(use_pallas_eval):
                     return raw_text(*args)
 
         def multi_step(params, opt_state, frozen, imgs_g, labels_g, mask_g, lr):
