@@ -92,21 +92,20 @@ class CLIPMethodTrainer(TrainerBase):
         # Fused Pallas attention on forward-only (eval) paths: 1.45x the
         # eval step on TPU v5e (paired-head rect kernel).  Training keeps
         # the XLA path — measured faster at the protocol's batch 4 even
-        # after the kernel work.  Single device only: pallas_call carries
-        # no GSPMD partitioning rule, so under a data-parallel mesh the
-        # eval step stays XLA (correct everywhere, and the collective-
-        # free batch sharding is the bigger lever there).
-        # RPO_TPU_PALLAS_ATTENTION=1/0 overrides both decisions.
+        # after the kernel work.  Multi-device eval runs the step
+        # per-device-local under shard_map (shard_eval_step_local), which
+        # is what lets the Pallas kernels — no GSPMD partitioning rule —
+        # ride a data-parallel mesh.  RPO_TPU_PALLAS_ATTENTION=1/0
+        # overrides.
         raw_eval, raw_text = eval_step, text_features
-        use_pallas_eval = jax.device_count() == 1
 
         def eval_step(*args):
-            with pallas_attention_scope(use_pallas_eval):
+            with pallas_attention_scope(True):
                 return raw_eval(*args)
 
         if raw_text is not None:
             def text_features(*args):
-                with pallas_attention_scope(use_pallas_eval):
+                with pallas_attention_scope(True):
                     return raw_text(*args)
 
         def multi_step(params, opt_state, frozen, imgs_g, labels_g, mask_g, lr):
@@ -130,7 +129,7 @@ class CLIPMethodTrainer(TrainerBase):
         if n_dev > 1:
             from rpo_tpu.parallel.dp import (
                 make_mesh,
-                shard_eval_step,
+                shard_eval_step_local,
                 shard_multi_step,
                 shard_train_step,
             )
@@ -139,7 +138,7 @@ class CLIPMethodTrainer(TrainerBase):
             self.mesh = make_mesh()
             self._train_step = shard_train_step(train_step, self.mesh)
             self._train_multi_step = shard_multi_step(multi_step, self.mesh)
-            self._eval_step = shard_eval_step(eval_step, self.mesh)
+            self._eval_step = shard_eval_step_local(eval_step, self.mesh)
         else:
             self.mesh = None
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))

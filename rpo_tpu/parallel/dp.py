@@ -77,6 +77,30 @@ def shard_eval_step(eval_step, mesh: Mesh):
     )
 
 
+def shard_eval_step_local(eval_step, mesh: Mesh, axis_name: str = "data"):
+    """Per-device-LOCAL eval via shard_map: state replicated, the image
+    batch (and logits) sharded on the mesh axis.
+
+    Evaluation needs no collectives — every logit row depends only on its
+    own image — so the step body can run as ordinary per-device code
+    instead of a GSPMD-partitioned program.  That is what lets the fused
+    Pallas attention kernels (which carry no GSPMD partitioning rule and
+    would otherwise force the XLA path) run on each shard of a
+    data-parallel mesh.
+    """
+    from jax import shard_map
+
+    fn = shard_map(
+        eval_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,  # custom-vjp/pallas calls defeat the varying-
+        # manual-axes checker; eval is collective-free by construction
+    )
+    return jax.jit(fn)
+
+
 def pad_multiple(batch_size: int, n_devices: int) -> int:
     """Smallest batch size >= batch_size divisible by n_devices (padded
     rows are masked out of the loss/metrics)."""

@@ -82,6 +82,50 @@ def test_dp_eval_matches(setup):
     )
 
 
+def test_dp_eval_local_shard_map_matches(setup):
+    """shard_map per-device-local eval (the path that lets Pallas kernels
+    ride a data-parallel mesh) == GSPMD eval == single device."""
+    from rpo_tpu.parallel.dp import shard_eval_step_local
+
+    cfg, params, task, prompts, frozen, _ = setup
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.randn(16, 32, 32, 3), jnp.float32)
+    text_f = core.encode_text_with_prompts(prompts, frozen, task)
+
+    def eval_step(prompts, frozen, text_f, images):
+        return core.rpo_logits(prompts, frozen, task, images, text_f=text_f)
+
+    mesh = make_mesh()
+    local_logits = shard_eval_step_local(eval_step, mesh)(
+        prompts, frozen, text_f, images
+    )
+    sd_logits = jax.jit(eval_step)(prompts, frozen, text_f, images)
+    np.testing.assert_allclose(
+        np.asarray(local_logits), np.asarray(sd_logits), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dp_eval_local_none_text_f(setup):
+    """None text_f (methods without a cached text tower) passes through
+    the shard_map spec as an empty pytree."""
+    from rpo_tpu.parallel.dp import shard_eval_step_local
+
+    cfg, params, task, prompts, frozen, _ = setup
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+
+    def eval_step(prompts, frozen, text_f, images):
+        assert text_f is None
+        return core.rpo_logits(prompts, frozen, task, images)
+
+    mesh = make_mesh()
+    out = shard_eval_step_local(eval_step, mesh)(prompts, frozen, None, images)
+    ref = jax.jit(lambda p, fz, im: core.rpo_logits(p, fz, task, im))(
+        prompts, frozen, images
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_dp_multi_step_matches_sequential(setup):
     """Grouped scan dispatch under DP shardings == sequential single steps."""
     from rpo_tpu.parallel.dp import shard_multi_step
