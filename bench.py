@@ -134,28 +134,54 @@ def main() -> None:
         check(f"vision-masked (4,12,{S},{S})", 4, 12, S, S, 64, vis_bias)
         check("vision-rect (100,12,221,197)", 8, 12, S, cfg.vision_seq_len, 64, None)
 
-        # paired-head rect tower (the eval hot path) vs the XLA tower
+        # paired-head rect tower (the eval hot path) vs the XLA tower.
+        # blk rides as a jit ARGUMENT (closure arrays embed as constants).
         from rpo_tpu.models.clip.layers import rect_residual_block
 
         x = jnp.asarray(r.randn(4, S, cfg.vision_width) * 0.1, jnp.bfloat16)
         blk = jax.tree_util.tree_map(
-            lambda a: a[0], jax.device_get(frozen["clip"]["visual"]["blocks"])
+            lambda a: jnp.asarray(a[0]), frozen["clip"]["visual"]["blocks"]
         )
-        blk = jax.tree_util.tree_map(jnp.asarray, blk)
 
         def tower(use):
             with attn_ops.pallas_attention_scope(use):
                 return jax.jit(
-                    lambda x: rect_residual_block(
+                    lambda x, blk: rect_residual_block(
                         x, blk, cfg.vision_heads, cfg.vision_seq_len
                     )
-                )(x)
+                )(x, blk)
 
         a = np.asarray(tower(True), np.float32)
         b = np.asarray(tower(False), np.float32)
         err = np.abs(a - b).max()
         assert err < 2e-2, f"paired rect tower mismatch: {err}"
         print(f"pallas gate: paired rect tower max|pallas-xla| = {err:.2e} OK")
+
+        # Pallas inside shard_map (the production multi-device eval path;
+        # untestable on the CPU mesh where Pallas is disabled): a 1-device
+        # mesh on the real chip certifies the composition compiles + runs.
+        from rpo_tpu.parallel.dp import make_mesh, shard_eval_step_local
+
+        def shard_tower(xx, bb):
+            with attn_ops.pallas_attention_scope(True):
+                return rect_residual_block(
+                    xx, bb, cfg.vision_heads, cfg.vision_seq_len
+                )
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sm = jax.jit(
+            shard_map(
+                shard_tower, mesh=mesh1, in_specs=(P("data"), P()),
+                out_specs=P("data"), check_vma=False,
+            )
+        )
+        c = np.asarray(sm(x, blk), np.float32)
+        err = np.abs(c - b).max()
+        assert err < 2e-2, f"pallas-in-shard_map mismatch: {err}"
+        print(f"pallas gate: pallas-in-shard_map max|.-xla| = {err:.2e} OK")
 
     _pallas_gate()
 
@@ -168,6 +194,9 @@ def main() -> None:
     # Best of 3 timing passes: host dispatch rides a shared tunnel on this
     # environment whose latency varies minute-to-minute; the fastest pass
     # is the least-contended measurement of the same fixed device program.
+    # Pass boundaries end with a HOST TRANSFER, not block_until_ready —
+    # the latter does not reliably synchronize on this platform
+    # (CLAUDE.md), which would let one pass's tail leak into the next.
     n_steps = 50
     train_passes = []
     for _ in range(3):
@@ -176,7 +205,7 @@ def main() -> None:
             prompts, opt_state, loss = train_jit(
                 prompts, opt_state, frozen, imgs, labels, mask, lr
             )
-        jax.block_until_ready(loss)
+        float(loss)  # device->host sync
         train_passes.append(time.perf_counter() - t0)
     train_dt = min(train_passes)
     train_imgs_per_sec = n_steps * TRAIN_BATCH / train_dt
@@ -194,7 +223,10 @@ def main() -> None:
         t0 = time.perf_counter()
         for _ in range(n_eval):
             logits = eval_jit(prompts, frozen, text_f, eimgs)
-        jax.block_until_ready(logits)
+        # device->host transfer of the LAST program's output: the chip
+        # executes programs in issue order, so this bounds the whole pass
+        # (see the train-pass comment on block_until_ready)
+        float(logits[0, 0])
         eval_passes.append(time.perf_counter() - t0)
     eval_dt = min(eval_passes)
     eval_imgs_per_sec = n_eval * EVAL_BATCH / eval_dt

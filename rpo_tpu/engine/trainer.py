@@ -413,9 +413,10 @@ class TrainerBase:
             loader = self.dm.test_loader
         print(f"Evaluate on the *{split}* set")
         self.evaluator.reset()
-        # Two-deep dispatch pipeline: enqueue batch i+1's eval before
-        # pulling batch i's logits off the device, so decode/H2D/compute/
-        # D2H overlap instead of paying a serial round trip per batch.
+        # Dispatch pipeline with up to three batches in flight: enqueue
+        # the next batches' evals before pulling earlier logits off the
+        # device, so decode/H2D/compute/D2H overlap instead of paying a
+        # serial round trip per batch.
         pending: deque = deque()
 
         def drain() -> None:

@@ -80,9 +80,12 @@ def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
-def _batch_group(B: int, limit: int = 10) -> int:
+def _batch_group(B: int, limit: int = 10, itemsize: int = 2) -> int:
     """Largest divisor of B not exceeding `limit` (VMEM headroom at the
-    RPO eval shape caps the per-program group around 10)."""
+    RPO eval shape caps the per-program group around 10 in bf16).  The
+    cap was calibrated for 2-byte elements; wider dtypes (fp32 parity
+    runs) double every block, so scale the cap down accordingly."""
+    limit = max(1, (limit * 2) // max(2, itemsize))
     for g in range(min(limit, B), 0, -1):
         if B % g == 0:
             return g
@@ -92,7 +95,7 @@ def _batch_group(B: int, limit: int = 10) -> int:
 def _fwd_rect(q, k, v, interpret=False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    G = _batch_group(B)
+    G = _batch_group(B, itemsize=q.dtype.itemsize)
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
     q_spec = pl.BlockSpec((G, 1, Lq, D), lambda b, h: (b, h, 0, 0), **kw)
@@ -182,7 +185,7 @@ def _rect_pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, half):
 def _fwd_rect_paired(q2, k2, v2, half, interpret=False):
     B, H2, Lq, D2 = q2.shape
     Lk = k2.shape[2]
-    G = _batch_group(B)
+    G = _batch_group(B, itemsize=q2.dtype.itemsize)
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
     q_spec = pl.BlockSpec((G, 1, Lq, D2), lambda b, h: (b, h, 0, 0), **kw)
@@ -205,21 +208,6 @@ def pallas_rect_attention_paired(q2, k2, v2, half=64, interpret=False):
     caller produces this layout for free by treating head pairs as one
     128-wide head in its projection einsums (ops/attention.py)."""
     return _fwd_rect_paired(q2, k2, v2, half, interpret)
-
-
-def _rect_paired_ref(q2, k2, v2, half):
-    """XLA reference/backward on the paired layout: per-half attention."""
-    scale = half ** -0.5
-    outs = []
-    for h in (0, 1):
-        sl = slice(h * half, (h + 1) * half)
-        s = jnp.einsum(
-            "bhqd,bhkd->bhqk", q2[..., sl], k2[..., sl],
-            preferred_element_type=jnp.float32,
-        )
-        w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
-        outs.append(jnp.einsum("bhqk,bhkd->bhqd", w.astype(v2.dtype), v2[..., sl]))
-    return jnp.concatenate(outs, axis=-1)
 
 
 def _rect_paired_fwd_rule(q2, k2, v2, half, interpret=False):
@@ -262,7 +250,9 @@ def _fwd_pallas(q, k, v, bias, interpret=False):
     bias = bias.astype(jnp.float32)
     # per-batch biases ride in (G,1,L,L) blocks; they are f32 (L,L) maps,
     # so cap the group harder than the bias-free rect kernel
-    G = _batch_group(B, limit=4 if bias.shape[0] != 1 else 10)
+    G = _batch_group(
+        B, limit=4 if bias.shape[0] != 1 else 10, itemsize=q.dtype.itemsize
+    )
 
     memspace = pltpu.VMEM if _HAS_PLTPU else None
     kw = {"memory_space": memspace} if memspace is not None else {}
