@@ -45,3 +45,43 @@ def test_classify_tool_json(tmp_path):
     # same image set, different order of classes would break this: the
     # synthetic dataset has 10 classes, all names non-empty strings
     assert all(t["class"] for rec in map(json.loads, lines) for t in rec["top"])
+
+
+def test_classify_tool_with_checkpoint(tmp_path):
+    """Serving from a trained checkpoint: train 1 epoch, then classify
+    with --model-dir/--load-epoch (the load path protocol eval uses)."""
+    from PIL import Image
+
+    out_dir = tmp_path / "run"
+    env = dict(os.environ)
+    env["RPO_TPU_FORCE_CPU"] = "1"
+    common = [
+        "--trainer", "RPO",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", "configs/trainers/RPO/main.yaml",
+        "MODEL.BACKBONE.NAME", "TINY", "INPUT.SIZE", "(32, 32)",
+        "TRAINER.RPO.PREC", "fp32",
+    ]
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--output-dir", str(out_dir), "--seed", "1"]
+        + common
+        + ["DATASET.NUM_SHOTS", "1", "OPTIM.MAX_EPOCH", "1", "TEST.NO_TEST", "True"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    img = tmp_path / "probe.jpg"
+    Image.new("RGB", (40, 40), (120, 30, 200)).save(str(img))
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/classify.py", str(img),
+            "--model-dir", str(out_dir), "--load-epoch", "1",
+            "--top-k", "1", "--json",
+        ]
+        + common,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert f"model.pth.tar-1" in proc.stdout or "prompt_learner" in proc.stdout
+    recs = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(recs) == 1 and len(recs[0]["top"]) == 1
