@@ -132,7 +132,9 @@ def main() -> None:
         S = cfg.vision_seq_len + K
         vis_bias = jnp.asarray(core.build_visual_mask(S, K))
         check(f"vision-masked (4,12,{S},{S})", 4, 12, S, S, 64, vis_bias)
-        check("vision-rect (100,12,221,197)", 8, 12, S, cfg.vision_seq_len, 64, None)
+        # the REAL eval batch: the timed program is shape-specialized to
+        # B=100 (grid grouping G depends on B), so gate that exact shape
+        check("vision-rect (100,12,221,197)", 100, 12, S, cfg.vision_seq_len, 64, None)
 
         # paired-head rect tower (the eval hot path) vs the XLA tower.
         # blk rides as a jit ARGUMENT (closure arrays embed as constants).

@@ -67,12 +67,17 @@ class ImageNet(FewShotDataset):
 
     @staticmethod
     def read_classnames(text_file: str) -> "OrderedDict[str, str]":
-        """Parse classnames.txt: each line '<wnid> <name words...>'."""
+        """Parse classnames.txt: each line '<wnid> <name words...>'.
+
+        Splits on single spaces, NOT arbitrary whitespace — the reference
+        (datasets/imagenet.py:72) uses ``strip().split(" ")``, so a name
+        containing consecutive spaces must survive verbatim (the prompt
+        string feeds the tokenizer; spacing changes logits)."""
         mapping = OrderedDict()
         with open(text_file) as f:
             for line in f:
-                fields = line.split()
-                if fields:
+                fields = line.strip().split(" ")
+                if fields and fields[0]:
                     mapping[fields[0]] = " ".join(fields[1:])
         return mapping
 

@@ -195,6 +195,15 @@ def load_or_create_fewshot(
         try:
             with open(preprocessed, "rb") as f:
                 data = pickle.load(f)
+            if val is not None and data.get("val") is None:
+                # a train-only cache (the ImageNet format) under a dataset
+                # that expects a few-shot val split: wrong format, not
+                # corruption — regenerate, keep the foreign file intact
+                print(
+                    f"(!) few-shot cache {preprocessed} has no val split; "
+                    "regenerating without overwriting"
+                )
+                return sample()
             return data["train"], data.get("val")
         except Exception as exc:
             # e.g. a cache written by the torch/dassl reference sharing the

@@ -236,8 +236,6 @@ def make_frozen(
     bundle = {
         "clip": clip_params,
         "text_x": precompute_text_x(clip_params, task),
-        "text_mask": jnp.asarray(task.text_mask),
-        "visual_mask": jnp.asarray(task.visual_mask),
         "prompt_onehot": jnp.asarray(task.prompt_onehot),
     }
     if cache_text_kv:
@@ -246,6 +244,13 @@ def make_frozen(
         bundle["prompt_col_mask"] = jnp.asarray(
             build_prompt_col_mask(task.len_prompts, kv["k"].shape[-2])
         )
+    else:
+        # only the masked text formulation reads the (n_cls,1,77,77) bias;
+        # with the KV cache it is dead weight ((~24MB f32 at n_cls=1000)
+        # shipped through the slow host->device tunnel and held per device).
+        # The vision masks are never bundled: eval uses the rect tower and
+        # training the split tower, neither of which materializes a bias.
+        bundle["text_mask"] = jnp.asarray(task.text_mask)
     return bundle
 
 
@@ -324,7 +329,13 @@ def encode_text_with_prompts(
     injected = jnp.einsum("cpk,kd->cpd", onehot, tp)
     x = text_x * (1.0 - is_prompt).astype(dtype) + injected
 
-    x = text_transformer_run(t, cfg, x, frozen["text_mask"])
+    # the bundle carries the mask only in cache_text_kv=False mode; a
+    # KV-cached bundle driven through the masked path (explicit text_x
+    # override) embeds it as a trace constant instead
+    text_mask = frozen.get("text_mask")
+    if text_mask is None:
+        text_mask = jnp.asarray(task.text_mask)
+    x = text_transformer_run(t, cfg, x, text_mask)
     x = layer_norm(x, t["ln_final"])
 
     # One-hot extraction of the K prompt outputs (replaces rpo.py:186-189).

@@ -1,11 +1,14 @@
 """Multi-head attention with additive bias — the hot op of the framework.
 
 TPU-native design notes:
-  - Layout is (batch, seq, dim) throughout; head split/merge are reshapes
-    that XLA folds into the surrounding matmuls (no torch-style LND
-    permutes — cf. /root/reference/clip/model.py:235,351).
-  - QKV is one fused (D, 3D) matmul to keep the MXU busy with a single
-    large contraction instead of three small ones.
+  - Layout is (batch, seq, dim) throughout; head split/merge are FOLDED
+    INTO the projection matmuls' output layout (``_head_proj``) instead
+    of torch-style LND permutes (cf. /root/reference/clip/model.py:235,351)
+    — a reshape+transpose after the matmul lowers to a real layout copy
+    on TPU (measured ~10% of the eval step).
+  - Weights are stored as one (D, 3D) QKV block (torch checkpoint
+    layout); the projection slices it into three per-head einsums so the
+    head split is free (see _head_proj / _split_qkv).
   - Attention logits and softmax run in float32 regardless of the compute
     dtype (parity with fp16 CLIP requires stable softmax; bf16 logits lose
     too much).  The bias is additive, float32, broadcastable over
@@ -26,42 +29,51 @@ import jax.numpy as jnp
 NEG_INF = -1e9  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
 
 # Switch for the fused Pallas attention path (see pallas_attention.py).
-# Measured on TPU v5e: ~14% faster forward/eval, slightly slower in
-# training (the custom-VJP backward recomputes attention), so trainers
-# enable it only around eval-path traces via ``pallas_attention_scope``.
+# Measured on TPU v5e: faster on forward/eval paths, slower in training,
+# so trainers enable it only around eval-path traces via
+# ``pallas_attention_scope``.  The flag is THREAD-LOCAL: it is read at
+# trace time, and the trainer's compile-prewarm traces the train program
+# and the (Pallas-scoped) eval program on concurrent threads — a global
+# would let one thread's scope leak into the other's trace and bake the
+# wrong kernels into a jit-cached executable for the whole run.
 # Env RPO_TPU_PALLAS_ATTENTION: "1" force-on everywhere, "0" force-off.
 import contextlib as _contextlib
 import os as _os
+import threading as _threading
 
 _ENV = _os.environ.get("RPO_TPU_PALLAS_ATTENTION", "")
-_USE_PALLAS = _ENV == "1"
+_TLS = _threading.local()
+
+
+def _flag() -> bool:
+    return getattr(_TLS, "use_pallas", _ENV == "1")
 
 
 def set_pallas_attention(enabled: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = enabled
+    """Set the CALLING THREAD's default for the Pallas path."""
+    _TLS.use_pallas = enabled
 
 
 @_contextlib.contextmanager
 def pallas_attention_scope(enabled: bool = True):
     """Enable/disable the Pallas path for ops *traced* inside the scope
-    (the flag is read at trace time; wrap the traced function body)."""
-    global _USE_PALLAS
+    by the current thread (the flag is read at trace time; wrap the
+    traced function body)."""
     if _ENV in ("0", "1"):  # explicit env overrides scopes
         yield
         return
-    prev = _USE_PALLAS
-    _USE_PALLAS = enabled
+    prev = _flag()
+    _TLS.use_pallas = enabled
     try:
         yield
     finally:
-        _USE_PALLAS = prev
+        _TLS.use_pallas = prev
 
 
 def use_pallas_attention() -> bool:
     if _ENV == "0":
         return False
-    return _USE_PALLAS and jax.default_backend() not in ("cpu",)
+    return _flag() and jax.default_backend() not in ("cpu",)
 
 
 def dot_product_attention(
@@ -122,7 +134,8 @@ def _head_proj(x: jax.Array, w: jax.Array, b: jax.Array, n_heads: int) -> jax.Ar
 
 
 def _split_qkv(x: jax.Array, params: dict, n_heads: int):
-    """Fused QKV projection -> per-head (B, H, L, Dh) triplet."""
+    """Slice the (D, 3D) QKV weight block into three head-layout
+    projections -> per-head (B, H, L, Dh) triplet."""
     D = x.shape[-1]
     w, b = params["qkv_w"], params["qkv_b"]
     return tuple(

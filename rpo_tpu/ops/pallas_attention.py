@@ -116,11 +116,23 @@ def pallas_rect_attention(q, k, v, interpret=False):
     return _fwd_rect(q, k, v, interpret)
 
 
-def _rect_ref_forward(q, k, v):
+def _attention_bwd_math(q, k, v, bias, g):
+    """Shared XLA softmax-recompute backward for every kernel variant
+    (rect = bias None; the paired kernel calls it per 64-lane half) —
+    ONE copy of the attention-gradient algebra to keep in sync."""
     scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
-    return w, jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+    s = s.astype(jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    w = jax.nn.softmax(s, axis=-1)
+    w_v = w.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", w_v, g)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
+    ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv
 
 
 def _rect_fwd_rule(q, k, v, interpret=False):
@@ -129,15 +141,7 @@ def _rect_fwd_rule(q, k, v, interpret=False):
 
 def _rect_bwd_rule(interpret, res, g):
     q, k, v = res
-    w, _ = _rect_ref_forward(q, k, v)
-    scale = q.shape[-1] ** -0.5
-    w_v = w.astype(v.dtype)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", w_v, g)
-    dw = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
-    ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
-    return dq, dk, dv
+    return _attention_bwd_math(q, k, v, None, g)
 
 
 pallas_rect_attention.defvjp(_rect_fwd_rule, _rect_bwd_rule)
@@ -216,21 +220,19 @@ def _rect_paired_fwd_rule(q2, k2, v2, half, interpret=False):
 
 def _rect_paired_bwd_rule(half, interpret, res, g):
     q2, k2, v2 = res
-    scale = half ** -0.5
-    dqs, dks, dvs = [], [], []
-    for h in (0, 1):
-        sl = slice(h * half, (h + 1) * half)
-        q, k, v, gh = q2[..., sl], k2[..., sl], v2[..., sl], g[..., sl]
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
-        w_v = w.astype(v.dtype)
-        dvs.append(jnp.einsum("bhqk,bhqd->bhkd", w_v, gh))
-        dw = jnp.einsum("bhqd,bhkd->bhqk", gh, v).astype(jnp.float32)
-        ds = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))).astype(q.dtype)
-        dqs.append(jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale)
-        dks.append(jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale)
-    cat = lambda xs: jnp.concatenate(xs, axis=-1)
-    return cat(dqs), cat(dks), cat(dvs)
+    grads = [
+        _attention_bwd_math(
+            q2[..., h * half : (h + 1) * half],
+            k2[..., h * half : (h + 1) * half],
+            v2[..., h * half : (h + 1) * half],
+            None,
+            g[..., h * half : (h + 1) * half],
+        )
+        for h in (0, 1)
+    ]
+    return tuple(
+        jnp.concatenate([grads[0][i], grads[1][i]], axis=-1) for i in range(3)
+    )
 
 
 pallas_rect_attention_paired.defvjp(_rect_paired_fwd_rule, _rect_paired_bwd_rule)
@@ -277,14 +279,6 @@ def pallas_attention(q, k, v, bias, interpret=False):
     return _fwd_pallas(q, k, v, bias, interpret)
 
 
-def _ref_forward(q, k, v, bias):
-    scale = q.shape[-1] ** -0.5
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    s = s.astype(jnp.float32) * scale + bias.astype(jnp.float32)
-    w = jax.nn.softmax(s, axis=-1)
-    return w, jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
-
-
 def _fwd_rule(q, k, v, bias, interpret=False):
     # Residuals are just the inputs: the backward recomputes the (L, L)
     # probabilities with XLA ops.  A probs-saving kernel variant was
@@ -296,15 +290,7 @@ def _fwd_rule(q, k, v, bias, interpret=False):
 
 def _bwd_rule(interpret, res, g):
     q, k, v, bias = res
-    w, _ = _ref_forward(q, k, v, bias)
-    scale = q.shape[-1] ** -0.5
-    w_v = w.astype(v.dtype)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", w_v, g)
-    dw = jnp.einsum("bhqd,bhkd->bhqk", g, v).astype(jnp.float32)
-    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-    ds = ds.astype(q.dtype)
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    dq, dk, dv = _attention_bwd_math(q, k, v, bias, g)
     # bias is a static mask in every caller; zero cotangent keeps the
     # custom_vjp signature total without doing real work (DCE'd).
     return dq, dk, dv, jnp.zeros_like(bias)

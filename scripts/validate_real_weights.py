@@ -37,6 +37,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+if os.environ.get("RPO_TPU_FORCE_CPU"):
+    # the JAX_PLATFORMS env var is ignored on this environment's
+    # force-registered axon TPU platform (CLAUDE.md); pin via config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 # Published zero-shot CLIP ViT-B/16 accuracies under the CoOp/RPO
 # protocol (base/new class halves, Table 1 of the CoCoOp/RPO papers).
 # EXTERNAL numbers from the papers — tolerance is generous; tighten after
@@ -60,11 +67,20 @@ def diagnose_missing(backbone: str) -> None:
     )
     print(f"  2. cache dir {cache_dir}: not found")
     if os.environ.get("RPO_TPU_ALLOW_DOWNLOAD") == "1":
-        print(
-            "  3. download attempted and FAILED — this host has no network "
-            "egress (DNS resolution fails: '[Errno -2] Name or service not "
-            "known' for openaipublic.azureedge.net)."
-        )
+        # report the ACTUAL failure, probed fresh — do not guess
+        import socket
+
+        host = "openaipublic.azureedge.net"
+        try:
+            socket.getaddrinfo(host, 443)
+            reason = (
+                f"DNS for {host} resolves; the download failed for another "
+                "reason (see the downloader's message above — e.g. HTTP "
+                "error, checksum mismatch, or disk)"
+            )
+        except OSError as exc:
+            reason = f"no network egress (DNS for {host} fails: {exc})"
+        print(f"  3. download attempted and FAILED — {reason}.")
     else:
         print("  3. download not attempted (set RPO_TPU_ALLOW_DOWNLOAD=1)")
     print(

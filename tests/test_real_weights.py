@@ -27,6 +27,7 @@ def test_script_diagnoses_missing_weights(tmp_path):
     env.pop("RPO_TPU_ALLOW_DOWNLOAD", None)
     env["CLIP_CACHE_DIR"] = str(tmp_path / "empty_cache")
     env["JAX_PLATFORMS"] = "cpu"
+    env["RPO_TPU_FORCE_CPU"] = "1"  # env JAX_PLATFORMS is ignored here (CLAUDE.md)
     proc = subprocess.run(
         [sys.executable, SCRIPT], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=300,
@@ -61,6 +62,7 @@ def test_torch_tower_parity_machinery(tmp_path):
 def test_full_script_with_real_weights():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["RPO_TPU_FORCE_CPU"] = "1"  # env JAX_PLATFORMS is ignored here (CLAUDE.md)
     proc = subprocess.run(
         [sys.executable, SCRIPT], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=1200,
