@@ -57,7 +57,14 @@ class ZeroshotCLIP(TrainerBase):
         ccfg, normalize = self.clip_cfg, self._normalize
 
         def eval_step(clip_params, text_f, images_u8):
-            imf = encode_image(clip_params, ccfg, normalize(images_u8)).astype(jnp.float32)
+            # fused Pallas attention on the forward-only image tower, as
+            # in CLIPMethodTrainer._install_steps (thread-local trace flag)
+            from rpo_tpu.ops.attention import pallas_attention_scope
+
+            with pallas_attention_scope(True):
+                imf = encode_image(
+                    clip_params, ccfg, normalize(images_u8)
+                ).astype(jnp.float32)
             imf = imf / jnp.linalg.norm(imf, axis=-1, keepdims=True)
             scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
             return scale * imf @ text_f.T
