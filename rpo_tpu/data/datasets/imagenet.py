@@ -50,19 +50,38 @@ class ImageNet(FewShotDataset):
         enumerating the 1.28M-image tree is the expensive part."""
         cache = os.path.join(dataset_dir, "preprocessed.pkl")
         if os.path.exists(cache):
-            with open(cache, "rb") as f:
-                data = pickle.load(f)
-            return data["train"], data["test"]
+            try:
+                with open(cache, "rb") as f:
+                    data = pickle.load(f)
+                return data["train"], data["test"]
+            except Exception as exc:
+                # a cache written by the torch/dassl reference sharing the
+                # same data root (unpicklable here: dassl Datum objects),
+                # or a truncated file from a killed writer — regenerate in
+                # memory, keep the foreign/broken file intact (same policy
+                # as the few-shot cache, splits.py)
+                print(
+                    f"(!) Could not load {cache} ({exc}); rescanning the "
+                    "image tree without overwriting"
+                )
         wnid_to_name = self.read_classnames(
             os.path.join(dataset_dir, "classnames.txt")
         )
         train = self._scan_split("train", wnid_to_name)
         # standard practice: report accuracy on the val images
         test = self._scan_split("val", wnid_to_name)
-        with open(cache, "wb") as f:
-            pickle.dump(
-                {"train": train, "test": test}, f, protocol=pickle.HIGHEST_PROTOCOL
-            )
+        if not os.path.exists(cache):
+            tmp = f"{cache}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "wb") as f:  # write-then-rename: no
+                    # truncated cache from a killed job
+                    pickle.dump(
+                        {"train": train, "test": test},
+                        f, protocol=pickle.HIGHEST_PROTOCOL,
+                    )
+                os.replace(tmp, cache)
+            except OSError as exc:  # read-only dataset mount etc.
+                print(f"(!) Could not save {cache} ({exc})")
         return train, test
 
     @staticmethod

@@ -144,22 +144,40 @@ class BatchLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that notices an abandoned consumer: a caller
+            that drops the iterator mid-epoch (an exception in its step
+            loop) must not park this thread on a full queue forever,
+            leaking the thread and `prefetch` decoded batches."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for chunk in chunks:
-                    q.put(self._make_batch(chunk))
-                q.put(stop)
+                    if not put(self._make_batch(chunk)):
+                        return
+                put(stop)
             except BaseException as exc:  # propagate to the consumer —
                 # swallowing it would silently truncate the epoch
-                q.put(exc)
+                put(exc)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True, name="batch-producer")
         t.start()
-        while True:
-            batch = q.get()
-            if batch is stop:
-                break
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is stop:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            abandoned.set()  # generator closed (normally or not)

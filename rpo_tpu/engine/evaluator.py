@@ -46,7 +46,10 @@ class ClassificationEvaluator:
     def _macro_f1(self) -> float:
         y_true = np.asarray(self._y_true)
         y_pred = np.asarray(self._y_pred)
-        classes = np.unique(np.concatenate([y_true, y_pred]))
+        # Dassl averages over labels=np.unique(y_true) ONLY: a class that
+        # is predicted but absent from the ground truth contributes no
+        # zero term (sklearn f1_score semantics with an explicit labels=)
+        classes = np.unique(y_true)
         f1s = []
         for c in classes:
             tp = int(((y_pred == c) & (y_true == c)).sum())

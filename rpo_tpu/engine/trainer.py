@@ -95,11 +95,9 @@ def device_prefetch(iterator, depth: int = 2):
     keeping ``depth`` transfers in flight: overlaps host->device copies
     with the running step (transfers dominate per-step cost when the TPU
     is remote-attached)."""
-    import collections
-
     import jax.numpy as jnp
 
-    queue = collections.deque()
+    queue = deque()
 
     def put(batch):
         out = dict(batch)
@@ -247,17 +245,29 @@ class TrainerBase:
         if not directory or not self._model_names:
             return 0
         name0 = self._model_names[0]
-        ckpts = glob.glob(os.path.join(directory, name0, "model.pth.tar-*"))
-        if not ckpts:
+        epochs = []
+        for p in glob.glob(os.path.join(directory, name0, "model.pth.tar-*")):
+            # a .tmp left by a job killed mid-atomic_dump must not (and
+            # cannot) be resumed from; ignore anything non-numeric
+            try:
+                epochs.append(int(p.rsplit("-", 1)[1]))
+            except ValueError:
+                continue
+        if not epochs:
             print("No checkpoint found, train from scratch")
             return 0
-        latest = max(int(p.rsplit("-", 1)[1]) for p in ckpts)
+        latest = max(epochs)
         for name in self._model_names:
             path = os.path.join(directory, name, f"model.pth.tar-{latest}")
             checkpoint = _load_checkpoint_file(path)
             self.set_ckpt_state(name, checkpoint["state_dict"])
             if checkpoint.get("optimizer") is not None:
                 self.set_optim_state(name, checkpoint["optimizer"])
+            # best-so-far at save time: without this, a worse post-resume
+            # epoch would overwrite model-best.pth.tar
+            val_result = checkpoint.get("val_result")
+            if val_result is not None and np.isfinite(val_result):
+                self.best_result = max(self.best_result, float(val_result))
             print(f'Resumed {name} from "{path}" (epoch {checkpoint["epoch"]})')
         return latest
 

@@ -141,7 +141,9 @@ def _init_block_stack(key, n_layers: int, width: int, dtype) -> Params:
 
 def init_clip(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     """Random CLIP params with the reference init distributions."""
-    kv, kt, kc, kp, ktok, kpos, ktxt = jax.random.split(key, 7)
+    # one key per independently-drawn leaf/stack (reusing a key across
+    # leaves would correlate their "random" draws)
+    kv, kt, kc, kp, ktok, kpos, ktxt, kcls, kproj = jax.random.split(key, 9)
     vw, tw = cfg.vision_width, cfg.text_width
     scale = vw ** -0.5
 
@@ -168,12 +170,12 @@ def init_clip(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     visual = {
         # patch embedding stored matmul-ready: (P*P*3, width)
         "patch_embed": n(kc, (cfg.vision_patch_size ** 2 * 3, vw), scale),
-        "class_embedding": n(kv, (vw,), scale),
+        "class_embedding": n(kcls, (vw,), scale),
         "positional_embedding": n(kp, (cfg.vision_seq_len, vw), scale),
         "ln_pre": {"scale": jnp.ones((vw,), dtype), "bias": jnp.zeros((vw,), dtype)},
         "blocks": _init_block_stack(kv, cfg.vision_layers, vw, dtype),
         "ln_post": {"scale": jnp.ones((vw,), dtype), "bias": jnp.zeros((vw,), dtype)},
-        "proj": n(kt, (vw, cfg.embed_dim), scale),
+        "proj": n(kproj, (vw, cfg.embed_dim), scale),
     }
     text = {
         "token_embedding": n(ktok, (cfg.vocab_size, tw), 0.02),

@@ -73,7 +73,15 @@ def _maybe_download(backbone_name: str) -> Optional[str]:
 
 def find_checkpoint(backbone_name: str) -> Optional[str]:
     explicit = os.environ.get("CLIP_CHECKPOINT")
-    if explicit and os.path.exists(explicit):
+    if explicit:
+        if not os.path.exists(explicit):
+            # an explicitly-requested checkpoint must never silently fall
+            # through to a different cached file or random init: that's a
+            # full training run against the wrong weights
+            raise FileNotFoundError(
+                f"$CLIP_CHECKPOINT={explicit!r} does not exist "
+                "(unset it to use the cache-dir/download resolution)"
+            )
         return explicit
     cache_dir = os.environ.get(
         "CLIP_CACHE_DIR", os.path.expanduser("~/.cache/clip")

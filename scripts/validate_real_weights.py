@@ -231,7 +231,12 @@ def main() -> int:
 
     from rpo_tpu.models.clip.pretrained import find_checkpoint
 
-    path = find_checkpoint(args.backbone)
+    try:
+        path = find_checkpoint(args.backbone)
+    except FileNotFoundError as exc:  # explicit $CLIP_CHECKPOINT typo
+        print(exc)
+        diagnose_missing(args.backbone)
+        return 2
     if path is None:
         diagnose_missing(args.backbone)
         return 2
