@@ -86,6 +86,32 @@ class CLIPMethodTrainer(TrainerBase):
     def build_method(self) -> None:
         raise NotImplementedError
 
+    def _make_train_step(self, logits_fn):
+        """Standard training step over ``logits_fn(params, frozen,
+        images_u8) -> (B, n_cls)``: masked cross-entropy (padded rows
+        carry zero weight), grads w.r.t. the trainable pytree only,
+        torch-exact SGD, masked top-1 accuracy.  Every method trainer's
+        step is this algebra around its own logits call — one copy."""
+        from rpo_tpu.engine.optim import sgd_update
+
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
+            def loss_fn(p):
+                logits = logits_fn(p, frozen, images_u8)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                return jnp.sum(nll * mask) / jnp.sum(mask), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            params, opt_state = sgd_update(
+                params, grads, opt_state, lr,
+                momentum=self._momentum, weight_decay=self._weight_decay,
+                nesterov=self._nesterov,
+            )
+            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
+            return params, opt_state, loss, acc
+
+        return train_step
+
     def _install_steps(self, train_step, text_features, eval_step) -> None:
         from rpo_tpu.ops.attention import pallas_attention_scope
 

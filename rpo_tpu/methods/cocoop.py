@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rpo_tpu.engine.optim import sgd_update
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.methods import coop as coop_core
 from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
@@ -125,21 +124,11 @@ class CoCoOp(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params}
 
-        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
-            def loss_fn(p):
-                logits = cocoop_logits(p, frozen["clip"], task, normalize(images_u8))
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                return jnp.sum(nll * mask) / jnp.sum(mask), logits
-
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params, opt_state = sgd_update(
-                params, grads, opt_state, lr,
-                momentum=self._momentum, weight_decay=self._weight_decay,
-                nesterov=self._nesterov,
+        train_step = self._make_train_step(
+            lambda p, frozen, images_u8: cocoop_logits(
+                p, frozen["clip"], task, normalize(images_u8)
             )
-            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
-            return params, opt_state, loss, acc
+        )
 
         def eval_step(params, frozen, _unused_text_f, images_u8):
             # chunked over images: bounds text-tower memory at large n_cls

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rpo_tpu.engine.optim import sgd_update
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
 from rpo_tpu.models.clip import CLIPConfig, causal_mask, encode_image
@@ -135,9 +134,10 @@ def init_ctx(
             clip_params["text"]["token_embedding"][jnp.asarray(tokens[0, 1 : 1 + n_ctx])],
             np.float32,
         )
+        # NOTE: the reference applies CSC only in the random-init branch
+        # (coop.py:83-89) — with ctx_init the context stays a single
+        # shared (n_ctx, d) tensor even when CSC=True
         ctx = jnp.asarray(emb)
-        if csc:
-            ctx = jnp.tile(ctx[None], (n_cls, 1, 1))
         prompt_prefix = ctx_init
     else:
         shape = (n_cls, n_ctx, cfg.text_width) if csc else (n_ctx, cfg.text_width)
@@ -246,22 +246,11 @@ class CoOp(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params}
 
-        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
-            def loss_fn(p):
-                imgs = normalize(images_u8)
-                logits = coop_logits(p, frozen["clip"], task, imgs)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                return jnp.sum(nll * mask) / jnp.sum(mask), logits
-
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params, opt_state = sgd_update(
-                params, grads, opt_state, lr,
-                momentum=self._momentum, weight_decay=self._weight_decay,
-                nesterov=self._nesterov,
+        train_step = self._make_train_step(
+            lambda p, frozen, images_u8: coop_logits(
+                p, frozen["clip"], task, normalize(images_u8)
             )
-            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
-            return params, opt_state, loss, acc
+        )
 
         def text_features(params, frozen):
             return coop_text_features(params, frozen["clip"], task)

@@ -13,7 +13,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from rpo_tpu.engine.optim import sgd_update
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
 from rpo_tpu.models.clip import encode_image, encode_text
@@ -61,23 +60,11 @@ class LP(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params, "text_f": text_f}
 
-        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
-            def loss_fn(p):
-                logits = lp_logits(
-                    p, frozen["clip"], ccfg, frozen["text_f"], normalize(images_u8)
-                )
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                return jnp.sum(nll * mask) / jnp.sum(mask), logits
-
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params, opt_state = sgd_update(
-                params, grads, opt_state, lr,
-                momentum=self._momentum, weight_decay=self._weight_decay,
-                nesterov=self._nesterov,
+        train_step = self._make_train_step(
+            lambda p, frozen, images_u8: lp_logits(
+                p, frozen["clip"], ccfg, frozen["text_f"], normalize(images_u8)
             )
-            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
-            return params, opt_state, loss, acc
+        )
 
         def eval_step(params, frozen, _unused, images_u8):
             return lp_logits(
@@ -85,3 +72,17 @@ class LP(CLIPMethodTrainer):
             )
 
         self._install_steps(train_step, None, eval_step)
+
+    def set_ckpt_state(self, name: str, state) -> None:
+        """Accept reference torch checkpoints too: their lp_layer state is
+        {'weight': (out, in), 'bias'} (torch nn.Linear, applied as
+        x @ W.T + b) — remap/transpose to our {'w': (in, out), 'b'}
+        (applied as x @ w + b)."""
+        if "weight" in state:
+            import numpy as np
+
+            state = {
+                "w": np.asarray(state["weight"]).T,
+                "b": np.asarray(state["bias"]),
+            }
+        super().set_ckpt_state(name, state)

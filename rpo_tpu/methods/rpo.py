@@ -233,11 +233,7 @@ def make_frozen(
     precompute_text_kv) which switches encode_text_with_prompts to the
     prompt-rows-only fast path.
     """
-    bundle = {
-        "clip": clip_params,
-        "text_x": precompute_text_x(clip_params, task),
-        "prompt_onehot": jnp.asarray(task.prompt_onehot),
-    }
+    bundle = {"clip": clip_params}
     if cache_text_kv:
         kv = precompute_text_kv(clip_params, task)
         bundle["text_kv"] = kv
@@ -245,11 +241,14 @@ def make_frozen(
             build_prompt_col_mask(task.len_prompts, kv["k"].shape[-2])
         )
     else:
-        # only the masked text formulation reads the (n_cls,1,77,77) bias;
-        # with the KV cache it is dead weight ((~24MB f32 at n_cls=1000)
-        # shipped through the slow host->device tunnel and held per device).
-        # The vision masks are never bundled: eval uses the rect tower and
-        # training the split tower, neither of which materializes a bias.
+        # only the masked text formulation reads these; with the KV cache
+        # they are dead weight shipped through the slow host->device
+        # tunnel and held replicated per device (at n_cls=1000: text_mask
+        # ~24MB f32, text_x ~79MB bf16, prompt_onehot ~7MB).  The vision
+        # masks are never bundled: eval uses the rect tower and training
+        # the split tower, neither of which materializes a bias.
+        bundle["text_x"] = precompute_text_x(clip_params, task)
+        bundle["prompt_onehot"] = jnp.asarray(task.prompt_onehot)
         bundle["text_mask"] = jnp.asarray(task.text_mask)
     return bundle
 
@@ -323,7 +322,12 @@ def encode_text_with_prompts(
     # One-hot injection of the K learnable prompts at per-class positions
     # (replaces the reference's in-place scatter loop, rpo.py:176-177;
     # one-hot contractions ride the MXU and differentiate cleanly).
-    onehot = frozen["prompt_onehot"].astype(dtype)  # (n_cls, 77, K)
+    # Bundled only in cache_text_kv=False mode; a KV-cached bundle driven
+    # through here (explicit text_x override) embeds the task constant.
+    onehot = frozen.get("prompt_onehot")
+    if onehot is None:
+        onehot = jnp.asarray(task.prompt_onehot)
+    onehot = onehot.astype(dtype)  # (n_cls, 77, K)
     tp = prompts["text_prompt"].astype(dtype)  # (K, d_t)
     is_prompt = jnp.sum(onehot, axis=-1, keepdims=True)  # (n_cls, 77, 1) 0/1
     injected = jnp.einsum("cpk,kd->cpd", onehot, tp)

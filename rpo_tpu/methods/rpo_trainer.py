@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rpo_tpu.engine.optim import sgd_update
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.methods import rpo as core
 from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
@@ -39,22 +38,11 @@ class RPO(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = core.make_frozen(self.clip_params, task)
 
-        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
-            def loss_fn(p):
-                imgs = normalize(images_u8)
-                logits = core.rpo_logits(p, frozen, task, imgs, split_vision=True)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                return jnp.sum(nll * mask) / jnp.sum(mask), logits
-
-            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            params, opt_state = sgd_update(
-                params, grads, opt_state, lr,
-                momentum=self._momentum, weight_decay=self._weight_decay,
-                nesterov=self._nesterov,
+        train_step = self._make_train_step(
+            lambda p, frozen, images_u8: core.rpo_logits(
+                p, frozen, task, normalize(images_u8), split_vision=True
             )
-            acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
-            return params, opt_state, loss, acc
+        )
 
         def text_features(params, frozen):
             return core.encode_text_with_prompts(params, frozen, task)

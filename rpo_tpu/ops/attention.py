@@ -98,7 +98,13 @@ def dot_product_attention(
             from rpo_tpu.ops.pallas_attention import pallas_rect_attention
 
             return pallas_rect_attention(q, k, v)
-        if q.shape[-2] == k.shape[-2] and bias.shape[-2] == q.shape[-2]:
+        if (
+            q.shape[-2] == k.shape[-2]
+            and bias.shape[-2] == q.shape[-2]
+            and bias.shape[1] == 1  # the kernel's bias block is pinned to
+            # head 0 — a per-head bias must take the XLA path, not be
+            # silently truncated to one head's bias for all heads
+        ):
             from rpo_tpu.ops.pallas_attention import pallas_attention
 
             return pallas_attention(q, k, v, bias)

@@ -92,6 +92,43 @@ def test_coop_ctx_init_from_words(small_clip):
     )
     assert prefix == "a photo of a"
     assert n_ctx == 4
+
+
+def test_lp_torch_checkpoint_remap():
+    """LP accepts the reference's lp_layer state ({'weight': (out,in),
+    'bias'}, applied as x @ W.T + b) by transposing into our
+    {'w': (in,out), 'b'} (applied as x @ w + b)."""
+    from rpo_tpu.methods.linear_probe import LP
+
+    rng = np.random.RandomState(0)
+    W = rng.randn(6, 6).astype(np.float32)  # torch (out, in), not symmetric
+    b = rng.randn(6).astype(np.float32)
+    tr = object.__new__(LP)
+    tr.set_ckpt_state("lp_layer", {"weight": W, "bias": b})
+    x = rng.randn(3, 6).astype(np.float32)
+    ours = x @ np.asarray(tr.params["w"]) + np.asarray(tr.params["b"])
+    torch_ref = x @ W.T + b
+    np.testing.assert_allclose(ours, torch_ref, rtol=1e-6)
+    # native-format checkpoints pass through untouched
+    tr.set_ckpt_state("lp_layer", {"w": W.T, "b": b})
+    np.testing.assert_allclose(np.asarray(tr.params["w"]), W.T)
+
+
+def test_coop_ctx_init_with_csc_stays_shared(small_clip):
+    """The reference applies CSC only to the random-init branch
+    (coop.py:72-89): with CTX_INIT set, ctx is a single shared
+    (n_ctx, d) tensor even when CSC=True."""
+    _, params, cfg = small_clip
+    jparams, _, n_ctx = jcoop.init_ctx(
+        jax.random.PRNGKey(0), params, cfg, len(CLASSNAMES), 16, True,
+        "a photo of a",
+    )
+    assert jparams["ctx"].shape == (n_ctx, cfg.text_width)
+    # random branch DOES honor CSC
+    jparams2, _, _ = jcoop.init_ctx(
+        jax.random.PRNGKey(0), params, cfg, len(CLASSNAMES), 4, True, ""
+    )
+    assert jparams2["ctx"].shape == (len(CLASSNAMES), 4, cfg.text_width)
     # rows are the embeddings of tokens "a photo of a"
     from rpo_tpu.tokenizer import tokenize
 
