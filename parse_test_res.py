@@ -104,8 +104,18 @@ def main() -> None:
         for key, values in final_results.items():
             print(f"* {key}: {np.mean(values):.2f}%")
         if args.hmean:
-            base = [v[args.keyword] for k, v in named.items() if k.endswith("base")]
-            new = [v[args.keyword] for k, v in named.items() if k.endswith("new")]
+            # exact names only: endswith("base") would also sweep a
+            # sibling train_base/ (whose training-run accuracies must not
+            # enter the base mean) into H
+            def _pick(kind):
+                return [
+                    v[args.keyword]
+                    for k, v in named.items()
+                    if k in (kind, f"test_{kind}")
+                ]
+
+            base = _pick("base")
+            new = _pick("new")
             if base and new:
                 b, n = np.mean(base), np.mean(new)
                 print(f"* harmonic mean (H): {2 * b * n / (b + n):.2f}%")

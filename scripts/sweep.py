@@ -34,12 +34,18 @@ B2N_DATASETS = [
 ]
 
 
-def job_done(output_dir: str) -> bool:
-    log = os.path.join(output_dir, "log.txt")
+def job_done(output_dir: str, phase: str = "test") -> bool:
+    # output dirs are repo-relative (train.py runs with cwd=REPO); anchor
+    # there so the check works however sweep.py itself is invoked
+    log = os.path.join(REPO, output_dir, "log.txt")
     if not os.path.exists(log):
         return False
     with open(log) as f:
         tail = f.read()
+    if phase == "train":
+        # per-epoch best_val evaluation prints "=> result" long before the
+        # final checkpoint lands — only the end marker proves completion
+        return "Finish training" in tail
     return "Finish training" in tail or "=> result" in tail
 
 
@@ -76,7 +82,6 @@ def make_base2new_jobs(args):
                     **common,
                     "phase": f"test_{sub}",
                     "output_dir": test_dir,
-                    "after": train_dir,
                     "argv": [
                         "--seed", str(seed), "--trainer", args.trainer,
                         "--dataset-config-file", f"configs/datasets/{dataset}.yaml",
@@ -94,16 +99,18 @@ def make_base2new_jobs(args):
 
 
 def run_job(job, args) -> bool:
-    if job_done(job["output_dir"]):
+    if job_done(job["output_dir"], job["phase"]):
         print(f"[skip] {job['output_dir']} (already complete)")
         return True
     argv = [sys.executable, "train.py"] + job["argv"]
     if args.root:
-        argv += ["--root", args.root]
+        # BEFORE the positional KEY VALUE overrides: train.py's opts use
+        # argparse.REMAINDER, which would swallow a trailing --root
+        argv[2:2] = ["--root", args.root]
     for attempt in range(args.retries + 1):
         t0 = time.time()
         proc = subprocess.run(argv, cwd=REPO)
-        ok = proc.returncode == 0 and job_done(job["output_dir"])
+        ok = proc.returncode == 0 and job_done(job["output_dir"], job["phase"])
         status = "ok" if ok else f"FAILED rc={proc.returncode}"
         print(f"[{status}] {job['output_dir']} ({time.time() - t0:.0f}s, attempt {attempt + 1})")
         if ok:

@@ -1,0 +1,35 @@
+"""--hmean aggregates test_base/test_new only — a sibling train_base/
+(whose training-run accuracy lines also follow an end signal) must not
+enter the base mean (reference protocol: H = 2bn/(b+n) over TEST runs)."""
+import os
+import subprocess
+import sys
+
+from .test_engine_e2e import REPO
+
+
+def _log(path, acc, train_run=False):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        if train_run:  # a real training log ends with the final test
+            f.write("Finish training\n")
+        f.write(f"=> result\n* accuracy: {acc:.1f}%\n")
+
+
+def test_hmean_ignores_train_base(tmp_path):
+    root = tmp_path / "collection"
+    _log(str(root / "train_base" / "seed1" / "log.txt"), 99.0, train_run=True)
+    _log(str(root / "test_base" / "seed1" / "log.txt"), 80.0)
+    _log(str(root / "test_new" / "seed1" / "log.txt"), 60.0)
+    proc = subprocess.run(
+        [sys.executable, "parse_test_res.py", str(root), "--multi-exp", "--hmean",
+         "--test-log"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    h_lines = [l for l in proc.stdout.splitlines() if "harmonic mean" in l]
+    assert len(h_lines) == 1
+    # H over (80, 60) = 68.57; with train_base wrongly included the base
+    # mean would be 89.5 -> H = 71.84
+    h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
+    assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]

@@ -50,6 +50,39 @@ def test_job_done_detection(tmp_path):
     assert sweep.job_done(str(d))
 
 
+def test_job_done_train_phase_needs_end_marker(tmp_path):
+    """Per-epoch best-val evaluation prints '=> result' long before the
+    final checkpoint lands — a killed training run must not be skipped."""
+    sweep = _load_sweep()
+    d = tmp_path / "out"
+    os.makedirs(d)
+    (d / "log.txt").write_text("=> result\n* accuracy: 40.0%\nepoch [2/15]...\n")
+    assert sweep.job_done(str(d), "test_base")  # eval-only runs ARE done
+    assert not sweep.job_done(str(d), "train")
+    (d / "log.txt").write_text("...\nFinish training\n=> result\n* accuracy: 50.0%\n")
+    assert sweep.job_done(str(d), "train")
+
+
+def test_run_job_places_root_before_overrides(tmp_path, monkeypatch):
+    """train.py's `opts` is argparse.REMAINDER: a trailing --root would be
+    swallowed into the config-override list and crash every job."""
+    sweep = _load_sweep()
+    captured = {}
+
+    def fake_run(argv, cwd=None):
+        captured["argv"] = argv
+        return types.SimpleNamespace(returncode=1)
+
+    monkeypatch.setattr(sweep.subprocess, "run", fake_run)
+    job = sweep.make_base2new_jobs(_args(root="/data"))[0]
+    job["output_dir"] = str(tmp_path / "never")
+    sweep.run_job(job, _args(root="/data"))
+    argv = captured["argv"]
+    root_i = argv.index("--root")
+    first_opt_i = argv.index("DATASET.NUM_SHOTS")
+    assert root_i < first_opt_i, argv
+
+
 def test_sharding_partitions_matrix():
     sweep = _load_sweep()
     jobs = sweep.make_base2new_jobs(_args())

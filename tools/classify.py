@@ -31,6 +31,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".gif")
 
 
+def _is_image_arg(p: str) -> bool:
+    return (
+        os.path.isdir(p)
+        or p.lower().endswith(IMAGE_EXTS)
+        or p.startswith("synthetic://")
+    )
+
+
+def split_images_and_opts(positionals):
+    """argparse hands ALL contiguous positionals to the first nargs='+'
+    slot, so 'img.jpg KEY VALUE' arrives as one list — partition it: the
+    leading run of image files/dirs, then KEY VALUE config overrides."""
+    for i, p in enumerate(positionals):
+        if not _is_image_arg(p):
+            return positionals[:i], positionals[i:]
+    return list(positionals), []
+
+
 def collect_images(paths):
     out = []
     for p in paths:
@@ -38,10 +56,8 @@ def collect_images(paths):
             for name in sorted(os.listdir(p)):
                 if name.lower().endswith(IMAGE_EXTS):
                     out.append(os.path.join(p, name))
-        elif p.lower().endswith(IMAGE_EXTS) or p.startswith("synthetic://"):
-            out.append(p)
         else:
-            print(f"(!) skipping non-image argument: {p}", file=sys.stderr)
+            out.append(p)
     return out
 
 
@@ -49,7 +65,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
-    ap.add_argument("images", nargs="+", help="image files and/or directories")
+    ap.add_argument(
+        "images", nargs="+",
+        help="image files and/or directories, optionally followed by "
+        "KEY VALUE config overrides",
+    )
     ap.add_argument("--trainer", required=True)
     ap.add_argument("--dataset-config-file", required=True)
     ap.add_argument("--config-file", required=True)
@@ -60,10 +80,13 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=100)
     ap.add_argument("--json", action="store_true", help="one JSON object per line")
-    ap.add_argument("opts", nargs="*", default=[], help="KEY VALUE config overrides")
     args, extra = ap.parse_known_args(argv)
 
-    files = collect_images(args.images)
+    image_args, opts = split_images_and_opts(args.images)
+    if len(opts) % 2:
+        print(f"config overrides must be KEY VALUE pairs, got {opts}", file=sys.stderr)
+        return 1
+    files = collect_images(image_args)
     if not files:
         print("no images found", file=sys.stderr)
         return 1
@@ -81,7 +104,7 @@ def main(argv=None) -> int:
         config_file=args.config_file, dataset_config_file=args.dataset_config_file,
         trainer=args.trainer, backbone="", head="", eval_only=True,
         model_dir=args.model_dir, load_epoch=args.load_epoch, no_train=True,
-        opts=list(args.opts) + list(extra),
+        opts=list(opts) + list(extra),
     )
     cfg = cli.setup_cfg(ns)
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -68,8 +67,11 @@ def to_torch_state(sd: dict, method: str) -> dict:
 def export(in_path: str, out_path: str, method: str = "auto") -> str:
     import torch
 
-    with open(in_path, "rb") as f:
-        ckpt = pickle.load(f)
+    from rpo_tpu.engine.trainer import _load_checkpoint_file
+
+    # the framework's own loader: handles both our pickled-numpy payloads
+    # and torch-zip checkpoints (so a reference file re-exports cleanly)
+    ckpt = _load_checkpoint_file(in_path)
     sd = ckpt["state_dict"]
     if method == "auto":
         method = detect_method(sd)

@@ -135,7 +135,7 @@ def main() -> int:
     pd = ProfileData.from_file(files[0])
     tot, cnt = defaultdict(float), defaultdict(int)
     for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+        if "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
             for ev in line.events:
