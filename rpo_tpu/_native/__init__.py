@@ -77,5 +77,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.rpo_eval_preprocess_batch.restype = ctypes.c_int
+        lib.rpo_train_preprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.rpo_train_preprocess_batch.restype = ctypes.c_int
         _lib = lib
         return _lib

@@ -319,4 +319,51 @@ int rpo_eval_preprocess_batch(const char** paths, int n, int size,
   return successes.load();
 }
 
+// Batched TRAIN preprocessing: decode + crop-box resize (or eval-style
+// resize+center-crop when boxes[i*4+2] < 0) + optional horizontal flip,
+// executed by an internal thread pool.  All augmentation randomness
+// (boxes, flips) is sampled by the caller — this only executes the plan,
+// so seeded runs stay deterministic regardless of thread interleaving.
+// boxes: n*4 ints (x0, y0, cw, ch); flips: n bytes; out: n*size*size*3.
+int rpo_train_preprocess_batch(const char** paths, const int* boxes,
+                               const uint8_t* flips, int n, int size,
+                               uint8_t* out, uint8_t* ok, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> successes(0);
+  const size_t stride = size_t(size) * size * 3;
+  auto flip_rows = [size](uint8_t* img) {
+    for (int y = 0; y < size; y++) {
+      uint8_t* row = img + size_t(y) * size * 3;
+      for (int x = 0; x < size / 2; x++) {
+        for (int c = 0; c < 3; c++)
+          std::swap(row[x * 3 + c], row[(size - 1 - x) * 3 + c]);
+      }
+    }
+  };
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      uint8_t* dst = out + stride * i;
+      const int* b = boxes + size_t(i) * 4;
+      bool good;
+      if (b[2] < 0) {  // no crop box: resize shorter side + center crop
+        good = eval_preprocess(paths[i], size, dst);
+        if (good && flips[i]) flip_rows(dst);
+      } else {
+        good = train_preprocess(paths[i], b[0], b[1], b[2], b[3],
+                                flips[i] ? 1 : 0, size, dst);
+      }
+      ok[i] = good ? 1 : 0;
+      if (good) successes.fetch_add(1);
+    }
+  };
+  n_threads = std::max(1, std::min(n_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return successes.load();
+}
+
 }  // extern "C"

@@ -68,6 +68,12 @@ class BatchLoader:
                 self.transform.make_plan(it.impath, self.train) if has_plan else None
                 for it in batch_items
             ]
+            imgs = (
+                self._native_train_batch(batch_items, plans) if has_plan else None
+            )
+        else:
+            plans, has_plan = None, False
+        if imgs is None:
 
             def apply(item_plan):
                 item, plan = item_plan
@@ -75,7 +81,7 @@ class BatchLoader:
                     return self.transform(item.impath, self.train, plan=plan)
                 return self.transform(item.impath, self.train)
 
-            imgs = list(self.pool.map(apply, zip(batch_items, plans)))
+            imgs = list(self.pool.map(apply, zip(batch_items, plans or [None] * len(batch_items))))
         B = self.pad_to
         n = len(batch_items)
         img0 = imgs[0]
@@ -87,6 +93,57 @@ class BatchLoader:
             out_lab[i] = it.label
             out_mask[i] = 1.0
         return {"img": out_img, "label": out_lab, "mask": out_mask, "n": n}
+
+    def _native_train_batch(self, batch_items: List[Datum], plans):
+        """Whole-batch decode + planned crop/resize/flip in the C++ thread
+        pool (train path, all-JPEG batches): the randomness is already in
+        ``plans`` (sampled sequentially), so the native code only executes
+        — per-image Python dispatch and the GIL drop out of the hot loop."""
+        if not self.train:
+            return None
+        tp = self.transform
+        if not hasattr(tp, "size") or getattr(tp, "interpolation", "") != "bicubic":
+            return None
+        if not all(
+            it.impath.lower().endswith((".jpg", ".jpeg")) for it in batch_items
+        ):
+            return None
+        from rpo_tpu._native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        import ctypes
+
+        n = len(batch_items)
+        size = tp.size
+        boxes = np.full((n, 4), -1, np.int32)
+        flips = np.zeros((n,), np.uint8)
+        for i, plan in enumerate(plans):
+            if plan is None:
+                continue
+            box, flip = plan
+            flips[i] = 1 if flip else 0
+            if box is not None:
+                boxes[i] = box
+        out = np.empty((n, size, size, 3), np.uint8)
+        ok = np.zeros((n,), np.uint8)
+        arr = (ctypes.c_char_p * n)(*[it.impath.encode() for it in batch_items])
+        lib.rpo_train_preprocess_batch(
+            arr, boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            max(1, self.pool._max_workers),
+        )
+        imgs = []
+        for i, it in enumerate(batch_items):
+            if ok[i]:
+                imgs.append(out[i])
+            else:  # corrupt/non-JPEG content: PIL fallback per item
+                imgs.append(self.transform(it.impath, True, plan=plans[i]))
+        return imgs
 
     def _native_eval_batch(self, batch_items: List[Datum]):
         """Whole-batch decode+resize+crop in the C++ thread pool (eval path,

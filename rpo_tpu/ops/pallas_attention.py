@@ -80,6 +80,22 @@ def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
+def _parallel_grid_params() -> dict:
+    """Mark both grid dimensions independent (no cross-iteration state):
+    lets Mosaic schedule/pipeline programs freely (~3% at the eval shape).
+    Interpret mode and older jaxlibs may lack CompilerParams — omit then."""
+    if not _HAS_PLTPU:
+        return {}
+    try:
+        return {
+            "compiler_params": pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")
+            )
+        }
+    except Exception:  # pragma: no cover
+        return {}
+
+
 def _batch_group(B: int, limit: int = 10, itemsize: int = 2) -> int:
     """Largest divisor of B not exceeding `limit` (VMEM headroom at the
     RPO eval shape caps the per-program group around 10 in bf16).  The
@@ -107,6 +123,7 @@ def _fwd_rect(q, k, v, interpret=False):
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
         interpret=interpret,
+        **({} if interpret else _parallel_grid_params()),
     )(q, k, v)
 
 
@@ -201,6 +218,7 @@ def _fwd_rect_paired(q2, k2, v2, half, interpret=False):
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, H2, Lq, D2), q2.dtype),
         interpret=interpret,
+        **({} if interpret else _parallel_grid_params()),
     )(q2, k2, v2)
 
 
@@ -267,6 +285,7 @@ def _fwd_pallas(q, k, v, bias, interpret=False):
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, L, D), q.dtype),
         interpret=interpret,
+        **({} if interpret else _parallel_grid_params()),
     )(q, k, v, bias)
 
 

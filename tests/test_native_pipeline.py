@@ -110,6 +110,74 @@ def test_batch_api(lib, jpeg_files):
     assert out[0].std() > 1  # actually wrote pixels
 
 
+def test_train_batch_api_matches_per_image(lib, jpeg_files):
+    """rpo_train_preprocess_batch == per-image native calls for the same
+    plans (crop-box, flip-only, and plain eval-style entries)."""
+    import ctypes
+
+    tp = TransformPipeline(_Input)
+    n = len(jpeg_files)
+    plans = [
+        ((50, 40, 200, 180), True),   # crop box + flip
+        ((10, 10, 150, 150), False),  # crop box only
+        (None, True),                 # flip-only (eval-style resize+crop)
+        (None, False),                # plain
+    ]
+    boxes = np.full((n, 4), -1, np.int32)
+    flips = np.zeros((n,), np.uint8)
+    for i, (box, flip) in enumerate(plans):
+        flips[i] = int(flip)
+        if box is not None:
+            boxes[i] = box
+    out = np.empty((n, 224, 224, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in jpeg_files])
+    successes = lib.rpo_train_preprocess_batch(
+        arr, boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, 224,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 4,
+    )
+    assert successes == n and ok.all()
+    for i, (p, plan) in enumerate(zip(jpeg_files, plans)):
+        ref = tp(p, train=True, plan=plan)  # per-image (native) path
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_loader_native_train_batch_matches_pil(jpeg_files):
+    """BatchLoader's batched native train path is bit-identical to the
+    PIL path for the same seeded plans."""
+    from rpo_tpu.data.datum import Datum
+    from rpo_tpu.data.loader import BatchLoader
+
+    items = [Datum(impath=p, label=i, classname="x") for i, p in enumerate(jpeg_files)]
+    tp = TransformPipeline(_Input)
+
+    def one_epoch():
+        loader = BatchLoader(
+            items, tp, batch_size=len(items), train=True, shuffle=False,
+            num_workers=2, prefetch=1,
+        )
+        return next(iter(loader))["img"]
+
+    random.seed(7)
+    native = one_epoch()
+
+    os.environ["RPO_TPU_NO_NATIVE"] = "1"
+    try:
+        import rpo_tpu._native as nat
+
+        nat._lib = None
+        random.seed(7)
+        pil = one_epoch()
+    finally:
+        del os.environ["RPO_TPU_NO_NATIVE"]
+        nat._lib = None
+    diff = np.abs(native.astype(int) - pil.astype(int))
+    assert float(diff.mean()) < 2.0, float(diff.mean())
+
+
 def test_bad_file_falls_back(lib, tmp_path):
     bad = tmp_path / "notajpeg.jpg"
     bad.write_bytes(b"this is not a jpeg")
