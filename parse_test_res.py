@@ -91,37 +91,51 @@ def main() -> None:
 
     end_signal = "=> result" if args.test_log else "Finish training"
 
-    if args.multi_exp or args.hmean:
+    if args.multi_exp:
         final_results = defaultdict(list)
-        named = {}
         for sub in listdir_nohidden(args.directory, sort=True):
             directory = osp.join(args.directory, sub)
             results = parse_dir(directory, args.keyword, end_signal, args.ci95)
-            named[sub] = results
             for key, value in results.items():
                 final_results[key].append(value)
         print("Average performance")
         for key, values in final_results.items():
             print(f"* {key}: {np.mean(values):.2f}%")
-        if args.hmean:
-            # exact names only: endswith("base") would also sweep a
-            # sibling train_base/ (whose training-run accuracies must not
-            # enter the base mean) into H
-            def _pick(kind):
-                return [
-                    v[args.keyword]
-                    for k, v in named.items()
-                    if k in (kind, f"test_{kind}")
-                ]
+    if args.hmean:
+        # Aggregate over the test_base/test_new halves of the base-to-new
+        # protocol.  Exact directory names only (a sibling train_base/
+        # carries training-run accuracies that must not enter the base
+        # mean), walked recursively so both the flat layout
+        # (<dir>/test_base/<seed>/log.txt) and the protocol layout
+        # (<dir>/test_base/<dataset>/shots_N/<trainer>/<cfg>/<seed>/log.txt)
+        # work.
+        def _collect(kind):
+            root = None
+            for cand in (f"test_{kind}", kind):
+                path = osp.join(args.directory, cand)
+                if osp.isdir(path):
+                    root = path
+                    break
+            if root is None:
+                return []
+            vals = []
+            for dirpath, dirnames, _files in os.walk(root):
+                # a leaf experiment dir: its children are seed dirs
+                if any(
+                    osp.isfile(osp.join(dirpath, d, "log.txt")) for d in dirnames
+                ):
+                    res = parse_dir(dirpath, args.keyword, end_signal, args.ci95)
+                    vals.append(res[args.keyword])
+            return vals
 
-            base = _pick("base")
-            new = _pick("new")
-            if base and new:
-                b, n = np.mean(base), np.mean(new)
-                print(f"* harmonic mean (H): {2 * b * n / (b + n):.2f}%")
-            else:
-                print("(!) --hmean: no */base and */new sub-experiments found")
-    else:
+        base = _collect("base")
+        new = _collect("new")
+        if base and new:
+            b, n = np.mean(base), np.mean(new)
+            print(f"* harmonic mean (H): {2 * b * n / (b + n):.2f}%")
+        else:
+            print("(!) --hmean: no test_base and test_new sub-experiments found")
+    if not args.multi_exp and not args.hmean:
         parse_dir(args.directory, args.keyword, end_signal, args.ci95)
 
 

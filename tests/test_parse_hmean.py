@@ -16,6 +16,30 @@ def _log(path, acc, train_run=False):
         f.write(f"=> result\n* accuracy: {acc:.1f}%\n")
 
 
+def test_hmean_protocol_layout(tmp_path):
+    """--hmean walks the sweep's real nested layout:
+    <root>/test_{base,new}/<dataset>/shots_N/<trainer>/<cfg>/<seed>/log.txt."""
+    root = tmp_path / "b2n"
+    for sub, accs in (("test_base", (70.0, 90.0)), ("test_new", (60.0, 60.0))):
+        for ds in ("caltech101", "dtd"):
+            _log(
+                str(root / sub / ds / "shots_16" / "RPO" / "main_K24" / "seed1" / "log.txt"),
+                accs[0] if ds == "caltech101" else accs[1],
+            )
+    _log(str(root / "train_base" / "caltech101" / "shots_16" / "RPO" /
+             "main_K24" / "seed1" / "log.txt"), 99.0, train_run=True)
+    proc = subprocess.run(
+        [sys.executable, "parse_test_res.py", str(root), "--hmean", "--test-log"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    h_lines = [l for l in proc.stdout.splitlines() if "harmonic mean" in l]
+    assert len(h_lines) == 1
+    # base mean 80, new mean 60 -> H = 68.57
+    h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
+    assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]
+
+
 def test_hmean_ignores_train_base(tmp_path):
     root = tmp_path / "collection"
     _log(str(root / "train_base" / "seed1" / "log.txt"), 99.0, train_run=True)
