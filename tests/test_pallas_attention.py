@@ -212,6 +212,41 @@ def test_unmasked_mha_paired_dispatch():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_scope_is_thread_local():
+    """The compile-prewarm threads trace the train program (scope False)
+    and the eval program (scope True) CONCURRENTLY; the trace-time flag
+    must be per-thread or one thread's scope leaks into the other's
+    jit-cached executable (the round-2 review's top finding)."""
+    import threading
+    import time as _time
+
+    from rpo_tpu.ops import attention as attn_ops
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def eval_like():
+        with attn_ops.pallas_attention_scope(True):
+            barrier.wait()  # both threads inside their scopes
+            _time.sleep(0.05)
+            results["eval"] = attn_ops._flag()
+
+    def train_like():
+        barrier.wait()
+        _time.sleep(0.05)
+        results["train"] = attn_ops._flag()  # default: scope not entered
+
+    ts = [threading.Thread(target=f) for f in (eval_like, train_like)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results["eval"] is True
+    assert results["train"] is False, "eval thread's scope leaked into the train thread"
+    # and the scope restored the entering thread's default on exit
+    assert attn_ops._flag() is False
+
+
 def test_shared_bias_broadcast():
     q, k, v, _ = _inputs(seed=2)
     L = q.shape[2]
