@@ -33,13 +33,20 @@ def compute_ci95(values) -> float:
     return 1.96 * np.std(values) / np.sqrt(len(values))
 
 
-def parse_dir(directory: str, keyword: str, end_signal: str, ci95: bool):
+def parse_dir(directory: str, keyword: str, end_signal: str, ci95: bool,
+              strict: bool = True):
+    """strict=True asserts every seed subdir has a log.txt (the reference
+    tool's behavior); strict=False (the --hmean walk) warns and skips
+    in-progress seed dirs that exist but haven't produced a log yet."""
     regex = re.compile(rf"\* {keyword}: ([\.\deE+-]+)%")
     print(f"Parsing files in {directory}")
     outputs = []
     for subdir in listdir_nohidden(directory, sort=True):
         fpath = osp.join(directory, subdir, "log.txt")
-        assert osp.isfile(fpath), f"Missing {fpath}"
+        if not osp.isfile(fpath):
+            assert not strict, f"Missing {fpath}"
+            print(f"(!) skipping {osp.join(directory, subdir)}: no log.txt yet")
+            continue
         good_to_go = False
         output = OrderedDict()
         with open(fpath) as f:
@@ -53,6 +60,10 @@ def parse_dir(directory: str, keyword: str, end_signal: str, ci95: bool):
                     output[keyword] = float(match.group(1))
         if output:
             outputs.append(output)
+    if not outputs and not strict:
+        # every seed log exists but none has reached the end signal yet
+        print(f"(!) skipping {directory}: no completed runs yet")
+        return OrderedDict()
     assert len(outputs) > 0, f"Nothing found in {directory}"
 
     metrics_results = defaultdict(list)
@@ -124,8 +135,14 @@ def main() -> None:
                 if any(
                     osp.isfile(osp.join(dirpath, d, "log.txt")) for d in dirnames
                 ):
-                    res = parse_dir(dirpath, args.keyword, end_signal, args.ci95)
-                    vals.append(res[args.keyword])
+                    # non-strict: an in-progress seed dir (created, no log
+                    # yet) is skipped with a warning, not an AssertionError
+                    res = parse_dir(dirpath, args.keyword, end_signal,
+                                    args.ci95, strict=False)
+                    if args.keyword in res:
+                        vals.append(res[args.keyword])
+                    dirnames[:] = []  # a leaf has no nested experiments —
+                    # don't descend into seed dirs (double-count guard)
             return vals
 
         base = _collect("base")

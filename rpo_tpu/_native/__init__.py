@@ -54,9 +54,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_SO)
-        except OSError:
-            _build_failed = True
-            return None
+            _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a stale librpo_image.so (copied/touched
+            # artifact whose mtime beats the source) missing a newer
+            # symbol — rebuild once from the current source, else fall
+            # back to the PIL path instead of killing the loader.
+            try:
+                if not _build():
+                    raise OSError("rebuild failed")
+                lib = ctypes.CDLL(_SO)
+                _bind(lib)
+            except (OSError, AttributeError):
+                _build_failed = True
+                return None
+        _lib = lib
+        return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
         lib.rpo_eval_preprocess.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ]
@@ -84,5 +100,3 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.rpo_train_preprocess_batch.restype = ctypes.c_int
-        _lib = lib
-        return _lib

@@ -49,39 +49,46 @@ class ImageNet(FewShotDataset):
         """Full (train, test) Datum lists, memoized in preprocessed.pkl —
         enumerating the 1.28M-image tree is the expensive part."""
         cache = os.path.join(dataset_dir, "preprocessed.pkl")
-        if os.path.exists(cache):
-            try:
-                with open(cache, "rb") as f:
-                    data = pickle.load(f)
-                return data["train"], data["test"]
-            except Exception as exc:
-                # a cache written by the torch/dassl reference sharing the
-                # same data root (unpicklable here: dassl Datum objects),
-                # or a truncated file from a killed writer — regenerate in
-                # memory, keep the foreign/broken file intact (same policy
-                # as the few-shot cache, splits.py)
-                print(
-                    f"(!) Could not load {cache} ({exc}); rescanning the "
-                    "image tree without overwriting"
-                )
+        # fallback cache name for when preprocessed.pkl exists but can't be
+        # loaded here (foreign dassl cache): a rescan is persisted under a
+        # framework-specific name so the 1.28M-image enumeration is paid once
+        cache_rpo = os.path.join(dataset_dir, "preprocessed_rpo_tpu.pkl")
+        for cand in (cache, cache_rpo):
+            if os.path.exists(cand):
+                try:
+                    with open(cand, "rb") as f:
+                        data = pickle.load(f)
+                    return data["train"], data["test"]
+                except Exception as exc:
+                    # a cache written by the torch/dassl reference sharing
+                    # the same data root (unpicklable here: dassl Datum
+                    # objects), or a truncated file from a killed writer —
+                    # regenerate, keep the foreign/broken file intact (same
+                    # policy as the few-shot cache, splits.py)
+                    print(
+                        f"(!) Could not load {cand} ({exc}); rescanning the "
+                        "image tree without overwriting"
+                    )
         wnid_to_name = self.read_classnames(
             os.path.join(dataset_dir, "classnames.txt")
         )
         train = self._scan_split("train", wnid_to_name)
         # standard practice: report accuracy on the val images
         test = self._scan_split("val", wnid_to_name)
-        if not os.path.exists(cache):
-            tmp = f"{cache}.tmp.{os.getpid()}"
-            try:
-                with open(tmp, "wb") as f:  # write-then-rename: no
-                    # truncated cache from a killed job
-                    pickle.dump(
-                        {"train": train, "test": test},
-                        f, protocol=pickle.HIGHEST_PROTOCOL,
-                    )
-                os.replace(tmp, cache)
-            except OSError as exc:  # read-only dataset mount etc.
-                print(f"(!) Could not save {cache} ({exc})")
+        # persist to the shared name if free, else the framework-specific
+        # one (never clobber a foreign cache; never re-enumerate forever)
+        dest = cache if not os.path.exists(cache) else cache_rpo
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:  # write-then-rename: no
+                # truncated cache from a killed job
+                pickle.dump(
+                    {"train": train, "test": test},
+                    f, protocol=pickle.HIGHEST_PROTOCOL,
+                )
+            os.replace(tmp, dest)
+        except OSError as exc:  # read-only dataset mount etc.
+            print(f"(!) Could not save {dest} ({exc})")
         return train, test
 
     @staticmethod

@@ -35,6 +35,16 @@ from rpo_tpu.models.clip.pretrained import load_backbone
 
 
 def prec_dtype(prec: str):
+    """Map a reference PREC name to the compute dtype.
+
+    ``fp16`` and ``amp`` BOTH map to bfloat16 on TPU, deliberately: the
+    reference's amp path exists to pair fp16 compute with a GradScaler
+    (reference trainers/rpo.py:278,300-307) because fp16's 5-bit exponent
+    underflows gradients.  bf16 shares fp32's 8-bit exponent, so no loss
+    scaling is needed and the amp/fp16 distinction collapses — the two
+    settings compile to identical programs (pinned by
+    tests/test_review_fixes.py::test_amp_aliases_fp16).
+    """
     return {"fp16": jnp.bfloat16, "amp": jnp.bfloat16, "fp32": jnp.float32}[prec]
 
 
@@ -51,6 +61,11 @@ class CLIPMethodTrainer(TrainerBase):
         prec = cfg.TRAINER[self.prec_key].PREC
         seed = max(int(cfg.SEED), 0)
 
+        if prec == "amp":
+            print(
+                "PREC 'amp' on TPU: bf16 compute, no GradScaler "
+                "(bf16 keeps fp32's exponent range; identical to PREC 'fp16' here)"
+            )
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.clip_params, self.clip_cfg = load_backbone(
             cfg.MODEL.BACKBONE.NAME, dtype=prec_dtype(prec), seed=seed

@@ -82,6 +82,7 @@ def make_base2new_jobs(args):
                     **common,
                     "phase": f"test_{sub}",
                     "output_dir": test_dir,
+                    "train_dir": train_dir,
                     "argv": [
                         "--seed", str(seed), "--trainer", args.trainer,
                         "--dataset-config-file", f"configs/datasets/{dataset}.yaml",
@@ -148,16 +149,36 @@ def main() -> None:
     print(f"{len(train_jobs)} train + {len(test_jobs)} test jobs")
 
     failures = []
-    for batch in (train_jobs, test_jobs):
+    blocked = []
+    for phase_idx, batch in enumerate((train_jobs, test_jobs)):
+        if phase_idx == 1:
+            # a test job whose train run never completed would fail (no
+            # checkpoint) or silently evaluate a stale checkpoint left at
+            # the same train_dir by a previous sweep — report it blocked
+            # instead of launching train.py
+            ready = []
+            for j in batch:
+                if job_done(j["train_dir"], "train"):
+                    ready.append(j)
+                else:
+                    print(f"[blocked] {j['output_dir']} (train incomplete: {j['train_dir']})")
+                    blocked.append(j["output_dir"])
+            batch = ready
         with ThreadPoolExecutor(max_workers=args.workers) as pool:
             for job, ok in zip(batch, pool.map(lambda j: run_job(j, args), batch)):
                 if not ok:
                     failures.append(job["output_dir"])
-    print(f"sweep complete: {len(jobs) - len(failures)}/{len(jobs)} ok")
+    n_bad = len(failures) + len(blocked)
+    print(f"sweep complete: {len(jobs) - n_bad}/{len(jobs)} ok")
+    if blocked:
+        print("blocked test jobs (train incomplete):")
+        for b in blocked:
+            print(" ", b)
     if failures:
         print("failed jobs:")
         for f in failures:
             print(" ", f)
+    if failures or blocked:
         sys.exit(1)
 
 

@@ -57,3 +57,28 @@ def test_hmean_ignores_train_base(tmp_path):
     # mean would be 89.5 -> H = 71.84
     h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
     assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]
+
+
+def test_hmean_tolerates_in_progress_seed_dir(tmp_path):
+    """An in-progress seed dir (created, no log.txt yet) next to completed
+    seeds is skipped with a warning rather than crashing the aggregation;
+    the walk also stops at a matched leaf so nested dirs can't be
+    double-counted."""
+    root = tmp_path / "b2n"
+    _log(str(root / "test_base" / "seed1" / "log.txt"), 80.0)
+    _log(str(root / "test_new" / "seed1" / "log.txt"), 60.0)
+    # seed2 exists but its run hasn't produced a log yet
+    os.makedirs(str(root / "test_base" / "seed2"))
+    # and a seed log exists but hasn't reached the end signal
+    os.makedirs(str(root / "test_new" / "seed2"))
+    with open(str(root / "test_new" / "seed2" / "log.txt"), "w") as f:
+        f.write("still training...\n")
+    proc = subprocess.run(
+        [sys.executable, "parse_test_res.py", str(root), "--hmean", "--test-log"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    h_lines = [l for l in proc.stdout.splitlines() if "harmonic mean" in l]
+    assert len(h_lines) == 1
+    h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
+    assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]

@@ -98,3 +98,42 @@ def test_fewshot_cache_unreadable_fallback(tmp_path):
     assert len(train) == 6  # regenerated (3 classes x 2 shots)
     # the unreadable (reference) cache was NOT overwritten
     assert (cache_dir / "shot_2-seed_1.pkl").read_bytes().startswith(b"\x80\x04 garbage")
+
+
+def test_amp_aliases_fp16():
+    """PREC 'amp' and PREC 'fp16' compile to IDENTICAL programs on TPU.
+
+    The reference's amp path (trainers/rpo.py:278,300-307) pairs fp16
+    compute with a GradScaler because fp16 gradients underflow; bf16
+    keeps fp32's exponent range, so on TPU both settings map to bf16
+    with no loss scaling and must lower to the same HLO.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.methods import rpo as core
+    from rpo_tpu.methods.base_trainer import prec_dtype
+    from rpo_tpu.models.clip import ARCHS, cast_params, init_clip
+
+    assert prec_dtype("amp") is prec_dtype("fp16") is jnp.bfloat16
+
+    cfg = ARCHS["TINY"]
+    base = init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    classnames = ["cat", "dog"]
+    task = core.make_task(cfg, classnames, "a photo of a _.", K=2)
+    images = jnp.zeros((2, cfg.image_resolution, cfg.image_resolution, 3),
+                       jnp.float32)
+    labels = jnp.zeros((2,), jnp.int32)
+
+    def lowered(prec):
+        params = cast_params(base, prec_dtype(prec))
+        prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, K=2)
+        frozen = core.make_frozen(params, task)
+
+        def step(prompts, frozen, images, labels):
+            loss, _ = core.rpo_loss(prompts, frozen, task, images, labels)
+            return loss
+
+        return jax.jit(step).lower(prompts, frozen, images, labels).as_text()
+
+    assert lowered("amp") == lowered("fp16")

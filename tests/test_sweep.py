@@ -94,3 +94,28 @@ def test_sharding_partitions_matrix():
         assert not (mine & seen)
         seen |= mine
     assert seen == set(keys)
+
+
+def test_test_jobs_blocked_when_train_incomplete(tmp_path, monkeypatch, capsys):
+    """A test job whose train run never completed must be reported as
+    blocked, not launched (it would fail or evaluate a stale checkpoint
+    from a previous sweep at the same train_dir)."""
+    import pytest
+
+    sweep = _load_sweep()
+    launched = []
+    monkeypatch.setattr(
+        sweep, "run_job", lambda job, args: launched.append(job["output_dir"]) or True
+    )
+    monkeypatch.setattr(sweep, "REPO", str(tmp_path))
+    monkeypatch.setattr(sweep.sys, "argv", [
+        "sweep.py", "base2new", "--datasets", "dtd", "--seeds", "1",
+        "--shots", "16", "--workers", "1",
+    ])
+    with pytest.raises(SystemExit) as exc:
+        sweep.main()
+    assert exc.value.code == 1  # blocked jobs fail the sweep
+    out = capsys.readouterr().out
+    # the train job ran; both test jobs were blocked, not launched
+    assert len(launched) == 1 and "train_base" in launched[0]
+    assert out.count("[blocked]") == 2
