@@ -51,23 +51,32 @@ def sgd_update(
 def lr_at_epoch(cfg_optim, epoch: int) -> float:
     """Per-epoch LR with warmup, matching Dassl's scheduler composition.
 
-    Dassl wraps the main scheduler in a warmup scheduler: epochs
-    < WARMUP_EPOCH yield the warmup LR (constant or linear ramp), after
-    which the main schedule applies as a function of epoch index.
+    Dassl wraps the main scheduler in a warmup scheduler
+    (_BaseWarmupScheduler): epochs < WARMUP_EPOCH yield the warmup LR
+    (constant or linear ramp); the wrapper only starts delegating
+    ``step()`` to the successor once warmup ends, and the successor's
+    epoch counter starts at 0 at that point — so the main schedule runs
+    over (epoch - WARMUP_EPOCH), i.e. a cosine restarts at the FULL base
+    LR on the first post-warmup epoch (the CoOp/RPO warmup trick: one
+    epoch at 1e-5, then cosine from LR).  Pinned against a torch
+    reconstruction of Dassl's scheduler in
+    tests/test_full_protocol_parity.py.
     """
     lr = float(cfg_optim.LR)
     max_epoch = int(cfg_optim.MAX_EPOCH)
     warmup = int(cfg_optim.WARMUP_EPOCH)
-    if warmup > 0 and epoch < warmup:
-        if cfg_optim.WARMUP_TYPE == "constant":
-            return float(cfg_optim.WARMUP_CONS_LR)
-        if cfg_optim.WARMUP_TYPE == "linear":
-            # Dassl _LinearWarmupScheduler: WARMUP_MIN_LR at epoch 0,
-            # then LR * epoch / warmup_epoch
-            if epoch == 0:
-                return float(cfg_optim.WARMUP_MIN_LR)
-            return lr * epoch / warmup
-        raise ValueError(f"Unknown WARMUP_TYPE {cfg_optim.WARMUP_TYPE}")
+    if warmup > 0:
+        if epoch < warmup:
+            if cfg_optim.WARMUP_TYPE == "constant":
+                return float(cfg_optim.WARMUP_CONS_LR)
+            if cfg_optim.WARMUP_TYPE == "linear":
+                # Dassl _LinearWarmupScheduler: WARMUP_MIN_LR at epoch 0,
+                # then LR * epoch / warmup_epoch
+                if epoch == 0:
+                    return float(cfg_optim.WARMUP_MIN_LR)
+                return lr * epoch / warmup
+            raise ValueError(f"Unknown WARMUP_TYPE {cfg_optim.WARMUP_TYPE}")
+        epoch = epoch - warmup  # successor schedule recounts from 0
 
     sched = cfg_optim.LR_SCHEDULER
     if sched == "cosine":

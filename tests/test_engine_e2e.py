@@ -62,7 +62,9 @@ def test_lr_schedule_semantics():
     cfg.merge_from_file(os.path.join(REPO, "configs/trainers/RPO/main_K24.yaml"))
     o = cfg.OPTIM
     assert lr_at_epoch(o, 0) == 1e-5  # constant warmup epoch
-    assert abs(lr_at_epoch(o, 1) - 0.01 * 0.5 * (1 + np.cos(np.pi * 1 / 15))) < 1e-9
+    # Dassl recount: first post-warmup epoch restarts the cosine at LR
+    assert abs(lr_at_epoch(o, 1) - 0.01) < 1e-12
+    assert abs(lr_at_epoch(o, 2) - 0.01 * 0.5 * (1 + np.cos(np.pi * 1 / 15))) < 1e-9
     assert lr_at_epoch(o, 14) < lr_at_epoch(o, 2)
 
 

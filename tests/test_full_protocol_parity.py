@@ -1,0 +1,421 @@
+"""FULL-PROTOCOL numerical parity vs the torch oracle.
+
+The strongest accuracy evidence obtainable offline: drives the REAL
+engine path (build_trainer -> train() -> per-epoch best-val selection ->
+checkpointing -> base->new reload -> final eval, the exact composition a
+CLI run executes) through a complete base-to-new cycle on the synthetic
+dataset with a small reference CLIP, and replays the IDENTICAL batches
+through a hand-rolled torch loop reconstructing the Dassl TrainerX
+semantics:
+
+  - forward/zero_grad/backward/step per batch
+    (/root/reference/trainers/rpo.py:290-316),
+  - scheduler stepped at the last batch of each epoch (rpo.py:313-314),
+  - Dassl's ConstantWarmupScheduler composition: warmup epochs at
+    WARMUP_CONS_LR, then the cosine successor stepping from ITS epoch 0
+    (reconstructed below as `DasslConstantWarmup`),
+  - per-epoch best-val selection (result > best -> save model-best),
+  - "Deploy the model with the best val performance" -> final test,
+  - base->new: a NEW-class model evaluated with the final-epoch prompts
+    (scripts/rpo/base2new_test.sh --load-epoch semantics).
+
+Asserted: per-step losses, per-epoch val predictions + accuracy, the
+best-epoch selection itself, final + best prompt tensors, and IDENTICAL
+test predictions on both the base and new class halves.
+
+Batches are recorded from our real loaders (post-augmentation uint8) and
+fed verbatim to the torch loop, so the comparison pins the engine
+composition (LR stepping, best-val accounting, checkpoint round-trips),
+not the data pipeline (pinned elsewhere).
+"""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from .oracle import load_reference_module
+from .test_engine_e2e import REPO
+
+torch = pytest.importorskip("torch")
+
+PROMPT = "a photo of a _."
+K = 3
+MAX_EPOCH = 3
+
+
+# ---------------------------------------------------------------------------
+# Dassl scheduler reconstruction (dassl/optim/lr_scheduler.py semantics)
+# ---------------------------------------------------------------------------
+class DasslConstantWarmup(torch.optim.lr_scheduler._LRScheduler):
+    """Dassl _BaseWarmupScheduler + ConstantWarmupScheduler: yields
+    cons_lr while last_epoch < warmup_epoch; once last_epoch reaches
+    warmup_epoch, step() delegates to the successor — whose own counter
+    starts at 0, i.e. the main schedule RESTARTS at full base LR on the
+    first post-warmup epoch."""
+
+    def __init__(self, optimizer, successor, warmup_epoch, cons_lr):
+        self.successor = successor
+        self.warmup_epoch = warmup_epoch
+        self.cons_lr = cons_lr
+        super().__init__(optimizer)
+
+    def get_lr(self):
+        if self.last_epoch >= self.warmup_epoch:
+            return self.successor.get_last_lr()
+        return [self.cons_lr for _ in self.base_lrs]
+
+    def step(self, epoch=None):
+        if getattr(self, "last_epoch", -1) >= self.warmup_epoch:
+            self.successor.step(epoch)
+            self._last_lr = self.successor.get_last_lr()
+        else:
+            super().step(epoch)
+
+
+# ---------------------------------------------------------------------------
+# recording wrappers around the real engine objects
+# ---------------------------------------------------------------------------
+class RecordingLoader:
+    """Wrap a BatchLoader; every full iteration appends one 'pass' (list
+    of numpy batch copies) to self.passes and still yields the original
+    batches to the engine."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.passes = []
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        current = []
+        self.passes.append(current)
+        for batch in self.inner:
+            current.append(
+                {
+                    "img": np.array(batch["img"]),
+                    "label": np.array(batch["label"]),
+                    "mask": np.array(batch["mask"]),
+                    "n": batch["n"],
+                }
+            )
+            yield batch
+
+
+def _normalize_torch(img_u8, cfg):
+    mean = torch.tensor(list(cfg.INPUT.PIXEL_MEAN)).view(1, 3, 1, 1)
+    std = torch.tensor(list(cfg.INPUT.PIXEL_STD)).view(1, 3, 1, 1)
+    x = torch.from_numpy(img_u8).float().permute(0, 3, 1, 2) / 255.0
+    return (x - mean) / std
+
+
+@pytest.fixture(scope="module")
+def oracle_clip(tmp_path_factory):
+    """Small reference CLIP (224 res — the reference PromptLearner
+    hardcodes d_v=768 and the 14x14 grid, rpo.py:78,140-159 — with depth-2
+    towers) saved as a torch checkpoint for $CLIP_CHECKPOINT."""
+    mod = load_reference_module("/root/reference/clip/model.py", "_proto_clip_model")
+    torch.manual_seed(0)
+    clip_model = mod.CLIP(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=2,
+        vision_width=768,
+        vision_patch_size=16,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=2,
+    ).float().eval()
+    for p in clip_model.parameters():  # reference freeze, rpo.py:257-260
+        p.requires_grad_(False)
+    path = tmp_path_factory.mktemp("oracle") / "small_clip.pt"
+    torch.save(clip_model.state_dict(), str(path))
+    return clip_model, str(path)
+
+
+def _ref_cfg():
+    import types
+
+    rpo_ns = types.SimpleNamespace(K=K, CTX_INIT=None, PREC="fp32")
+    return types.SimpleNamespace(
+        TRAINER=types.SimpleNamespace(RPO=rpo_ns),
+        INPUT=types.SimpleNamespace(SIZE=(224, 224)),
+    )
+
+
+def _build_cfg(output_dir, subsample, init_weights=""):
+    from rpo_tpu.engine import get_cfg_default
+
+    cfg = get_cfg_default()
+    cfg.merge_from_file(os.path.join(REPO, "configs/datasets/synthetic.yaml"))
+    cfg.merge_from_file(os.path.join(REPO, "configs/trainers/RPO/main.yaml"))
+    cfg.SEED = 1
+    cfg.TRAINER.NAME = "RPO"
+    cfg.OUTPUT_DIR = output_dir
+    cfg.MODEL.INIT_WEIGHTS = init_weights
+    cfg.TRAINER.RPO.K = K
+    cfg.TRAINER.RPO.PREC = "fp32"
+    cfg.OPTIM.MAX_EPOCH = MAX_EPOCH
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.DATASET.SUBSAMPLE_CLASSES = subsample
+    cfg.DATALOADER.TEST.BATCH_SIZE = 10
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TRAIN.PREWARM_COMPILE = False
+    cfg.TEST.FINAL_MODEL = "best_val"
+    return cfg
+
+
+def _torch_forward(model, img_u8, cfg, text_x_orig, labels=None):
+    """One reference CustomCLIP forward; restores text_x first (the CPU
+    aliasing quirk of rpo.py:174-177 — .to(device) is a no-op on CPU so
+    the in-place scatter would poison persistent state across calls)."""
+    model.text_x = text_x_orig.detach().clone()
+    x = _normalize_torch(img_u8, cfg)
+    if labels is None:
+        return model(x)
+    return model(x, torch.from_numpy(labels.astype(np.int64)))
+
+
+def test_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
+    clip_model, ckpt_path = oracle_clip
+
+    # single-device engine path: the DP layer's equivalence to it is
+    # pinned separately (test_data_parallel.py + dryrun_multichip)
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    monkeypatch.setenv("CLIP_CHECKPOINT", ckpt_path)
+
+    import rpo_tpu.data.datasets  # noqa: F401  (registry)
+    import rpo_tpu.methods  # noqa: F401
+    from rpo_tpu.engine.trainer import _load_checkpoint_file, build_trainer
+
+    # ---- identical initial prompts on both sides ----
+    ref_rpo = load_reference_module(
+        "/root/reference/trainers/rpo.py", "_proto_ref_rpo"
+    )
+    # classnames: base half of the synthetic dataset, in label order
+    from rpo_tpu.data.datasets.synthetic import _CLASSNAMES
+
+    n_base = (len(_CLASSNAMES) + 1) // 2
+    base_names = _CLASSNAMES[:n_base]
+    new_names = _CLASSNAMES[n_base:]
+
+    torch.manual_seed(3)
+    model_t = ref_rpo.CustomCLIP(_ref_cfg(), base_names, PROMPT, clip_model).float()
+    pl = model_t.prompt_learner
+    init_ckpt = str(tmp_path / "init_prompts.pkl")
+    with open(init_ckpt, "wb") as f:
+        pickle.dump(
+            {
+                "state_dict": {
+                    "text_prompt": pl.text_prompt.detach().numpy().copy(),
+                    "img_prompt": pl.img_prompt.detach().numpy().copy(),
+                },
+                "epoch": 0,
+            },
+            f,
+        )
+
+    # ---- our side: the real engine composition, batches recorded ----
+    train_dir = str(tmp_path / "train_base")
+    cfg = _build_cfg(train_dir, "base", init_weights=init_ckpt)
+    trainer = build_trainer(cfg)
+    assert trainer.dm.classnames == base_names
+
+    train_rec = RecordingLoader(trainer.dm.train_loader_x)
+    val_rec = RecordingLoader(trainer.dm.val_loader)
+    test_rec = RecordingLoader(trainer.dm.test_loader)
+    trainer.dm.train_loader_x = train_rec
+    trainer.dm.val_loader = val_rec
+    trainer.dm.test_loader = test_rec
+
+    our_losses = []
+    orig_fb = trainer.forward_backward
+
+    def recording_fb(batch):
+        summary = orig_fb(batch)
+        our_losses.append(float(summary["loss"]))
+        return summary
+
+    trainer.forward_backward = recording_fb
+
+    eval_logits = []  # one list of (logits, labels) per evaluator pass
+    orig_reset = trainer.evaluator.reset
+    orig_process = trainer.evaluator.process
+
+    def recording_reset():
+        eval_logits.append([])
+        orig_reset()
+
+    def recording_process(logits, labels):
+        eval_logits[-1].append((np.array(logits), np.array(labels)))
+        orig_process(logits, labels)
+
+    trainer.evaluator.reset = recording_reset
+    trainer.evaluator.process = recording_process
+
+    trainer.train()
+
+    assert len(train_rec.passes) == MAX_EPOCH
+    assert len(val_rec.passes) == MAX_EPOCH  # best-val evals
+    assert len(test_rec.passes) == 1  # final deploy-best test
+    assert len(eval_logits) == MAX_EPOCH + 1
+
+    # ---- torch side: hand-rolled Dassl loop on the recorded batches ----
+    o = cfg.OPTIM
+    opt = torch.optim.SGD(
+        [pl.text_prompt, pl.img_prompt],
+        lr=float(o.LR),
+        momentum=float(o.MOMENTUM),
+        weight_decay=float(o.WEIGHT_DECAY),
+        nesterov=bool(o.SGD_NESTEROV),
+    )
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=int(o.MAX_EPOCH)
+    )
+    sched = DasslConstantWarmup(
+        opt, cosine, int(o.WARMUP_EPOCH), float(o.WARMUP_CONS_LR)
+    )
+    pl.text_prompt.requires_grad_(True)
+    pl.img_prompt.requires_grad_(True)
+    text_x_orig = model_t.text_x.detach().clone()
+
+    def torch_eval(batches):
+        model_t.eval()
+        preds, labels, logits_all = [], [], []
+        with torch.no_grad():
+            for b in batches:
+                n = b["n"]
+                logits = _torch_forward(
+                    model_t, b["img"][:n], cfg, text_x_orig
+                ).numpy()
+                logits_all.append(logits)
+                preds.append(logits.argmax(-1))
+                labels.append(b["label"][:n])
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        acc = 100.0 * float((preds == labels).mean())
+        return logits_all, preds, labels, acc
+
+    step = 0
+    best_result = -np.inf
+    best_epoch = None
+    best_prompts = None
+    for epoch in range(MAX_EPOCH):
+        # engine lr for this epoch must equal the Dassl scheduler's
+        from rpo_tpu.engine.optim import lr_at_epoch
+
+        np.testing.assert_allclose(
+            opt.param_groups[0]["lr"], lr_at_epoch(o, epoch), rtol=1e-9,
+            err_msg=f"LR diverged at epoch {epoch}",
+        )
+        model_t.train()
+        for b in train_rec.passes[epoch]:
+            assert b["mask"].all(), "unexpected padded train batch"
+            opt.zero_grad()
+            loss_t = _torch_forward(model_t, b["img"], cfg, text_x_orig, b["label"])
+            loss_t.backward()
+            opt.step()
+            np.testing.assert_allclose(
+                our_losses[step], float(loss_t.detach()), rtol=2e-3, atol=2e-3,
+                err_msg=f"train loss diverged at step {step}",
+            )
+            step += 1
+        sched.step()  # at last batch of the epoch, rpo.py:313-314
+
+        # per-epoch best-val selection (Dassl after_epoch, best_val mode)
+        v_logits, v_preds, v_labels, v_acc = torch_eval(val_rec.passes[epoch])
+        ours = eval_logits[epoch]
+        our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+        np.testing.assert_array_equal(
+            our_preds, v_preds, err_msg=f"val predictions differ at epoch {epoch}"
+        )
+        for (our_lg, _), t_lg in zip(ours, v_logits):
+            np.testing.assert_allclose(our_lg, t_lg, rtol=2e-2, atol=2e-2)
+        if v_acc > best_result:
+            best_result = v_acc
+            best_epoch = epoch
+            best_prompts = (
+                pl.text_prompt.detach().clone(),
+                pl.img_prompt.detach().clone(),
+            )
+
+    final_prompts = (
+        pl.text_prompt.detach().clone(),
+        pl.img_prompt.detach().clone(),
+    )
+
+    # ---- best-epoch selection must match the engine's ----
+    best_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", "model-best.pth.tar")
+    )
+    assert best_ckpt["epoch"] == best_epoch + 1, (
+        f"best-val epoch differs: ours {best_ckpt['epoch']}, "
+        f"torch {best_epoch + 1} (accs {best_result})"
+    )
+
+    # ---- prompt tensors: final-epoch checkpoint and best checkpoint ----
+    final_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", f"model.pth.tar-{MAX_EPOCH}")
+    )
+    for key, ref_t in zip(("text_prompt", "img_prompt"), final_prompts):
+        np.testing.assert_allclose(
+            final_ckpt["state_dict"][key], ref_t.numpy(), rtol=1e-3, atol=1e-4,
+            err_msg=f"final {key} diverged",
+        )
+    for key, ref_t in zip(("text_prompt", "img_prompt"), best_prompts):
+        np.testing.assert_allclose(
+            best_ckpt["state_dict"][key], ref_t.numpy(), rtol=1e-3, atol=1e-4,
+            err_msg=f"best {key} diverged",
+        )
+
+    # ---- deploy best -> final test on the base classes ----
+    pl.text_prompt.data = best_prompts[0].clone()
+    pl.img_prompt.data = best_prompts[1].clone()
+    t_logits, t_preds, t_labels, t_acc = torch_eval(test_rec.passes[0])
+    ours = eval_logits[MAX_EPOCH]
+    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+    np.testing.assert_array_equal(
+        our_preds, t_preds, err_msg="final base test predictions differ"
+    )
+
+    # ---- base->new: reload the final-epoch checkpoint on new classes ----
+    # (scripts/rpo/base2new_test.sh --load-epoch semantics)
+    new_dir = str(tmp_path / "test_new")
+    cfg_new = _build_cfg(new_dir, "new")
+    trainer_new = build_trainer(cfg_new)
+    assert trainer_new.dm.classnames == new_names
+    new_test_rec = RecordingLoader(trainer_new.dm.test_loader)
+    trainer_new.dm.test_loader = new_test_rec
+    new_logits = []
+    orig_p2 = trainer_new.evaluator.process
+    trainer_new.evaluator.process = lambda lg, lb: (
+        new_logits.append((np.array(lg), np.array(lb))),
+        orig_p2(lg, lb),
+    )[1]
+    trainer_new.load_model(train_dir, epoch=MAX_EPOCH)
+    trainer_new.test()
+
+    torch.manual_seed(11)  # new prompt-learner init is immediately overwritten
+    model_new = ref_rpo.CustomCLIP(_ref_cfg(), new_names, PROMPT, clip_model).float()
+    model_new.prompt_learner.text_prompt.data = final_prompts[0].clone()
+    model_new.prompt_learner.img_prompt.data = final_prompts[1].clone()
+    text_x_new = model_new.text_x.detach().clone()
+    model_new.eval()
+    our_new_preds = np.concatenate([lg.argmax(-1) for lg, _ in new_logits])
+    t_new_preds = []
+    with torch.no_grad():
+        for b in new_test_rec.passes[0]:
+            n = b["n"]
+            lg = _torch_forward(model_new, b["img"][:n], cfg_new, text_x_new).numpy()
+            t_new_preds.append(lg.argmax(-1))
+    np.testing.assert_array_equal(
+        our_new_preds,
+        np.concatenate(t_new_preds),
+        err_msg="base->new test predictions differ",
+    )

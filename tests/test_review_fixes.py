@@ -39,7 +39,10 @@ def test_linear_warmup_matches_dassl():
     assert lr_at_epoch(o, 0) == 1e-5  # min LR at epoch 0
     assert abs(lr_at_epoch(o, 1) - 0.01 * 1 / 5) < 1e-12
     assert abs(lr_at_epoch(o, 4) - 0.01 * 4 / 5) < 1e-12
-    assert lr_at_epoch(o, 5) < 0.01  # cosine takes over
+    # Dassl recount: the cosine successor starts at 0 when warmup ends,
+    # so the first post-warmup epoch runs at the full base LR
+    assert abs(lr_at_epoch(o, 5) - 0.01) < 1e-12
+    assert lr_at_epoch(o, 6) < 0.01  # then cosine decays
 
 
 def test_train_loader_drops_last_partial_batch():
