@@ -32,7 +32,7 @@ TRAIN_BATCH = 4
 EVAL_BATCH = 100
 
 
-def main() -> None:
+def _setup_jax():
     import os
 
     import jax
@@ -44,6 +44,24 @@ def main() -> None:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return jax
+
+
+def _timed_passes(run_pass, n_passes: int = 3):
+    """Best-of-N timing passes (shared-tunnel latency varies minute to
+    minute; the fastest pass is the least-contended measurement of the
+    same fixed device program).  ``run_pass`` must END with a host
+    transfer — block_until_ready does not reliably synchronize here."""
+    times = []
+    for _ in range(n_passes):
+        t0 = time.perf_counter()
+        run_pass()
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+def main() -> None:
+    jax = _setup_jax()
 
     import jax.numpy as jnp
 
@@ -325,5 +343,360 @@ def main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline methods (VERDICT r2 "do this" #4): CoOp / CoCoOp / LP / zsclip at
+# their protocol configs.  The reference publishes no throughput for these
+# either, so vs_baseline is null except CoCoOp, where the architecturally
+# meaningful number is reported instead: the vmapped-batch speedup over the
+# batch-1 formulation the reference's per-image python loop forces
+# (/root/reference/trainers/cocoop.py:153-161, batch-1 config
+# configs/trainers/CoCoOp/vit_b16_c4_ep10_batch1.yaml:3).
+# ---------------------------------------------------------------------------
+
+
+def _baseline_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.data.transforms import device_normalize_fn
+    from rpo_tpu.models.clip import VIT_B16, cast_params, init_clip
+
+    cfg = VIT_B16
+    params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    classnames = [f"object category {i}" for i in range(N_CLS)]
+    normalize = device_normalize_fn(
+        [0.48145466, 0.4578275, 0.40821073],
+        [0.26862954, 0.26130258, 0.27577711],
+        dtype=jnp.bfloat16,
+    )
+    return cfg, params, classnames, normalize
+
+
+def _ce_train_step_factory(logits_fn, momentum=0.9, weight_decay=5e-4):
+    """The CLIPMethodTrainer._make_train_step algebra, standalone."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_update
+
+    def train_step(params, opt_state, frozen, images_u8, labels, lr):
+        def loss_fn(p):
+            logits = logits_fn(p, frozen, images_u8)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = sgd_update(
+            params, grads, opt_state, lr, momentum=momentum,
+            weight_decay=weight_decay,
+        )
+        return params, opt_state, loss
+
+    return train_step
+
+
+def _bench_train(train_jit, params, opt_state, frozen, imgs, labels, lr, n_steps=50):
+    import time as _t
+
+    import jax
+
+    # the jitted step donates params/opt_state — deep-copy so the
+    # caller's pytrees survive for the next (batch-size) variant
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    opt_state = jax.tree_util.tree_map(lambda x: x.copy(), opt_state)
+
+    t0 = _t.perf_counter()
+    params, opt_state, loss = train_jit(params, opt_state, frozen, imgs, labels, lr)
+    float(loss)
+    compile_s = _t.perf_counter() - t0
+
+    def one_pass():
+        nonlocal params, opt_state, loss
+        for _ in range(n_steps):
+            params, opt_state, loss = train_jit(
+                params, opt_state, frozen, imgs, labels, lr
+            )
+        float(loss)
+
+    dt, _ = _timed_passes(one_pass)
+    return n_steps / dt, compile_s
+
+
+def _bench_eval(eval_fn, n_iters=20):
+    """eval_fn() dispatches one eval batch and returns the device logits."""
+    logits = eval_fn()
+    float(logits[0, 0])  # compile + sync
+
+    def one_pass():
+        out = None
+        for _ in range(n_iters):
+            out = eval_fn()
+        float(out[0, 0])
+
+    dt, _ = _timed_passes(one_pass)
+    return n_iters / dt
+
+
+def bench_coop() -> dict:
+    """CoOp at the protocol config (vit_b16_ep50: batch 32; reference
+    default N_CTX=4/end/no-CSC, train.py:107-110)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_init
+    from rpo_tpu.methods import coop
+    from rpo_tpu.ops.attention import pallas_attention_scope
+
+    cfg, params, classnames, normalize = _baseline_setup()
+    ctx_params, prefix, n_ctx = coop.init_ctx(
+        jax.random.PRNGKey(1), params, cfg, N_CLS, 4, False, ""
+    )
+    task = coop.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+    frozen = {"clip": params}
+
+    train_step = _ce_train_step_factory(
+        lambda p, fz, imgs: coop.coop_logits(p, fz["clip"], task, normalize(imgs))
+    )
+
+    def eval_step(p, fz, text_f, imgs):
+        with pallas_attention_scope(True):
+            return coop.coop_logits(
+                p, fz["clip"], task, normalize(imgs), text_f=text_f
+            )
+
+    B = 32
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 256, size=(B, 224, 224, 3)), jnp.uint8)
+    labels = jnp.asarray(rng.randint(0, N_CLS, size=B), jnp.int32)
+    steps_per_sec, compile_s = _bench_train(
+        jax.jit(train_step, donate_argnums=(0, 1)),
+        ctx_params, sgd_init(ctx_params), frozen, imgs, labels, jnp.float32(0.002),
+    )
+
+    eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)
+    text_f = jax.jit(lambda p, fz: coop.coop_text_features(p, fz["clip"], task))(
+        ctx_params, frozen
+    )
+    eval_jit = jax.jit(eval_step)
+    evals_per_sec = _bench_eval(lambda: eval_jit(ctx_params, frozen, text_f, eimgs))
+
+    return {
+        "metric": "coop_train_images_per_sec",
+        "value": round(steps_per_sec * B, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "extras": {
+            "train_steps_per_sec": round(steps_per_sec, 2),
+            "train_batch": B,
+            "n_ctx": n_ctx,
+            "n_cls": N_CLS,
+            "eval_images_per_sec": round(evals_per_sec * EVAL_BATCH, 2),
+            "train_compile_seconds": round(compile_s, 1),
+        },
+    }
+
+
+def bench_cocoop() -> dict:
+    """CoCoOp at the protocol config (vit_b16_c4_ep10_batch1: batch 1,
+    N_CTX 4) AND at vmapped batch 8 — the reference's per-image loop
+    design pins it to batch 1; the vmapped formulation removes that
+    constraint, which is the headline number here."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_init
+    from rpo_tpu.methods import cocoop, coop
+    from rpo_tpu.ops.attention import pallas_attention_scope
+
+    cfg, params, classnames, normalize = _baseline_setup()
+    k_ctx, k_meta = jax.random.split(jax.random.PRNGKey(1))
+    ctx_params, prefix, n_ctx = coop.init_ctx(
+        k_ctx, params, cfg, N_CLS, 4, False, "a photo of a"
+    )
+    method_params = {
+        "ctx": ctx_params["ctx"],
+        "meta_net": cocoop.init_meta_net(k_meta, cfg.embed_dim, cfg.text_width),
+    }
+    task = coop.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+    frozen = {"clip": params}
+
+    rng = np.random.RandomState(0)
+    lr = jnp.float32(0.002)
+    per_batch = {}
+    compile_s = {}
+    for B in (1, 4, 8, 32):
+        # B >= 16 OOMs a 16GB v5e chip without remat (B x n_cls x 77
+        # stashed text-tower activations); jax.checkpoint trades the
+        # stash for recompute in the backward
+        remat = B >= 16
+        train_step = _ce_train_step_factory(
+            lambda p, fz, imgs, _r=remat: cocoop.cocoop_logits(
+                p, fz["clip"], task, normalize(imgs), remat_per_image=_r
+            )
+        )
+        imgs = jnp.asarray(rng.randint(0, 256, size=(B, 224, 224, 3)), jnp.uint8)
+        labels = jnp.asarray(rng.randint(0, N_CLS, size=B), jnp.int32)
+        steps_per_sec, c_s = _bench_train(
+            jax.jit(train_step, donate_argnums=(0, 1)),
+            method_params, sgd_init(method_params), frozen, imgs, labels, lr,
+            n_steps=max(5, 200 // B),
+        )
+        per_batch[B] = steps_per_sec * B
+        compile_s[B] = c_s
+
+    def eval_step(p, fz, imgs):
+        with pallas_attention_scope(True):
+            return cocoop.cocoop_logits(
+                p, fz["clip"], task, normalize(imgs), chunk=4
+            )
+
+    eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)
+    eval_jit = jax.jit(eval_step)
+    evals_per_sec = _bench_eval(
+        lambda: eval_jit(method_params, frozen, eimgs), n_iters=5
+    )
+
+    best_b = max(per_batch, key=per_batch.get)
+    return {
+        "metric": "cocoop_train_images_per_sec",
+        "value": round(per_batch[1], 2),  # the protocol config is batch 1
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "extras": {
+            # CoCoOp is O(B*n_cls) text-tower FLOPs by construction, so
+            # vmapped batching changes DISPATCH shape, not work per image;
+            # the full curve is recorded to keep the claim honest
+            "train_images_per_sec_by_batch": {
+                str(k): round(v, 2) for k, v in per_batch.items()
+            },
+            "best_batch": best_b,
+            "vmapped_vs_b1": round(per_batch[best_b] / per_batch[1], 2),
+            "n_ctx": n_ctx,
+            "n_cls": N_CLS,
+            "eval_images_per_sec": round(evals_per_sec * EVAL_BATCH, 2),
+            "train_compile_seconds": {str(k): round(v, 1) for k, v in compile_s.items()},
+        },
+    }
+
+
+def bench_lp() -> dict:
+    """Linear Probe (vit_b16_c4_ep10_batch1 protocol carries batch 1 —
+    the LP-carries-COCOOP config quirk; batch 32 also reported since the
+    method itself is batch-size-agnostic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_init
+    from rpo_tpu.methods.linear_probe import lp_logits
+    from rpo_tpu.models.clip import encode_text
+    from rpo_tpu.ops.attention import pallas_attention_scope
+    from rpo_tpu.tokenizer import tokenize
+
+    cfg, params, classnames, normalize = _baseline_setup()
+    d = cfg.embed_dim
+    lp_params = {"w": jnp.eye(d, dtype=jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+    tokens = jnp.asarray(tokenize([f"a photo of {c}." for c in classnames]))
+    text_f = encode_text(params, cfg, tokens).astype(jnp.float32)
+    text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
+    frozen = {"clip": params, "text_f": text_f}
+
+    train_step = _ce_train_step_factory(
+        lambda p, fz, imgs: lp_logits(
+            p, fz["clip"], cfg, fz["text_f"], normalize(imgs)
+        )
+    )
+
+    rng = np.random.RandomState(0)
+    lr = jnp.float32(0.002)
+    per_batch = {}
+    for B in (1, 32):
+        imgs = jnp.asarray(rng.randint(0, 256, size=(B, 224, 224, 3)), jnp.uint8)
+        labels = jnp.asarray(rng.randint(0, N_CLS, size=B), jnp.int32)
+        steps_per_sec, _ = _bench_train(
+            jax.jit(train_step, donate_argnums=(0, 1)),
+            lp_params, sgd_init(lp_params), frozen, imgs, labels, lr,
+        )
+        per_batch[B] = steps_per_sec * B
+
+    def eval_step(p, fz, imgs):
+        with pallas_attention_scope(True):
+            return lp_logits(p, fz["clip"], cfg, fz["text_f"], normalize(imgs))
+
+    eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)
+    eval_jit = jax.jit(eval_step)
+    evals_per_sec = _bench_eval(lambda: eval_jit(lp_params, frozen, eimgs))
+
+    return {
+        "metric": "lp_train_images_per_sec",
+        "value": round(per_batch[32], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "extras": {
+            "train_images_per_sec_b1_protocol": round(per_batch[1], 2),
+            "train_images_per_sec_b32": round(per_batch[32], 2),
+            "n_cls": N_CLS,
+            "eval_images_per_sec": round(evals_per_sec * EVAL_BATCH, 2),
+        },
+    }
+
+
+def bench_zsclip() -> dict:
+    """Zero-shot CLIP eval throughput (batch 100, single template)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.models.clip import encode_image, encode_text
+    from rpo_tpu.ops.attention import pallas_attention_scope
+    from rpo_tpu.tokenizer import tokenize
+
+    cfg, params, classnames, normalize = _baseline_setup()
+    tokens = jnp.asarray(tokenize([f"a photo of a {c}." for c in classnames]))
+    text_f = encode_text(params, cfg, tokens).astype(jnp.float32)
+    text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
+
+    def eval_step(clip_params, text_f, imgs):
+        with pallas_attention_scope(True):
+            imf = encode_image(clip_params, cfg, normalize(imgs)).astype(jnp.float32)
+        imf = imf / jnp.linalg.norm(imf, axis=-1, keepdims=True)
+        scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+        return scale * imf @ text_f.T
+
+    rng = np.random.RandomState(0)
+    eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)
+    eval_jit = jax.jit(eval_step)
+    evals_per_sec = _bench_eval(lambda: eval_jit(params, text_f, eimgs))
+
+    return {
+        "metric": "zsclip_eval_images_per_sec",
+        "value": round(evals_per_sec * EVAL_BATCH, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            evals_per_sec * EVAL_BATCH / REFERENCE_EVAL_IMGS_PER_SEC_ESTIMATE, 3
+        ),
+        "extras": {"n_cls": N_CLS, "eval_batch": EVAL_BATCH},
+    }
+
+
+BASELINE_BENCHES = {
+    "coop": bench_coop,
+    "cocoop": bench_cocoop,
+    "lp": bench_lp,
+    "zsclip": bench_zsclip,
+}
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--method", default="rpo", choices=["rpo"] + sorted(BASELINE_BENCHES),
+        help="which method to benchmark (default: the flagship RPO bench, "
+        "the driver contract — prints ONE JSON line)",
+    )
+    args = parser.parse_args()
+    if args.method == "rpo":
+        main()
+    else:
+        _setup_jax()
+        print(json.dumps(BASELINE_BENCHES[args.method]()))

@@ -52,6 +52,7 @@ def cocoop_logits(
     task: coop_core.CoOpTask,
     images: jax.Array,
     chunk: int = 0,
+    remat_per_image: bool = False,
 ) -> jax.Array:
     """(B, n_cls) logits with image-conditioned contexts
     (cocoop.py:144-189), vmapped over the batch.
@@ -59,7 +60,13 @@ def cocoop_logits(
     ``chunk`` > 0 processes the batch in image-chunks via lax.map —
     required at eval time for large class counts (ImageNet: B x n_cls x 77
     text-tower activations would not fit memory vmapped over B=100;
-    SURVEY.md §7 hard part #5)."""
+    SURVEY.md §7 hard part #5).
+
+    ``remat_per_image`` wraps the per-image text encoder in
+    jax.checkpoint: the backward pass recomputes each image's n_cls x 77
+    text-tower activations instead of stashing all B of them — the
+    standard TPU FLOPs-for-HBM trade that lets TRAINING batches scale
+    past the memory wall (B=32 at n_cls=51 OOMs a v5e chip without it)."""
     cfg = task.cfg
     image_features = encode_image(clip_params, cfg, images).astype(jnp.float32)
     imf = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
@@ -78,6 +85,9 @@ def cocoop_logits(
         text_f = text_f.astype(jnp.float32)
         text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
         return scale * text_f @ imf_i  # (n_cls,)
+
+    if remat_per_image:
+        per_image = jax.checkpoint(per_image)
 
     B = images.shape[0]
     if chunk <= 0 or chunk >= B:

@@ -140,3 +140,48 @@ def test_amp_aliases_fp16():
         return jax.jit(step).lower(prompts, frozen, images, labels).as_text()
 
     assert lowered("amp") == lowered("fp16")
+
+
+def test_cocoop_remat_per_image_equivalent():
+    """remat_per_image (jax.checkpoint on the per-image text encoder — the
+    memory-wall escape for large train batches) must not change logits or
+    gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.methods import cocoop
+    from rpo_tpu.methods import coop
+    from rpo_tpu.models.clip import ARCHS, init_clip
+
+    cfg = ARCHS["TINY"]
+    clip_params = init_clip(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    classnames = ["cat", "dog", "fox"]
+    k_ctx, k_meta = jax.random.split(jax.random.PRNGKey(1))
+    ctx_params, prefix, n_ctx = coop.init_ctx(
+        k_ctx, clip_params, cfg, len(classnames), 4, False, ""
+    )
+    params = {
+        "ctx": ctx_params["ctx"],
+        "meta_net": cocoop.init_meta_net(k_meta, cfg.embed_dim, cfg.text_width),
+    }
+    task = coop.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(2), (4, cfg.image_resolution, cfg.image_resolution, 3)
+    )
+    labels = jnp.asarray([0, 1, 2, 0])
+
+    def loss(p, remat):
+        lg = cocoop.cocoop_logits(p, clip_params, task, images,
+                                  remat_per_image=remat)
+        lp = jax.nn.log_softmax(lg, -1)
+        return -jnp.take_along_axis(lp, labels[:, None], -1).mean()
+
+    import numpy as np
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
