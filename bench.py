@@ -525,13 +525,17 @@ def bench_cocoop() -> dict:
     per_batch = {}
     compile_s = {}
     for B in (1, 4, 8, 32):
-        # B >= 16 OOMs a 16GB v5e chip without remat (B x n_cls x 77
-        # stashed text-tower activations); jax.checkpoint trades the
-        # stash for recompute in the backward
+        # B >= 16 OOMs a 16GB v5e chip plain (B x n_cls x 77 stashed
+        # text-tower activations).  remat alone is NOT enough: the
+        # checkpointed per-image recompute still materializes per-layer
+        # scan residuals for all vmapped images at once.  remat + chunked
+        # lax.map bounds the peak to one chunk's recompute (the chunks'
+        # backwards run serially, each holding only its own residuals).
         remat = B >= 16
+        chunk = 8 if B >= 16 else 0
         train_step = _ce_train_step_factory(
-            lambda p, fz, imgs, _r=remat: cocoop.cocoop_logits(
-                p, fz["clip"], task, normalize(imgs), remat_per_image=_r
+            lambda p, fz, imgs, _r=remat, _c=chunk: cocoop.cocoop_logits(
+                p, fz["clip"], task, normalize(imgs), chunk=_c, remat_per_image=_r
             )
         )
         imgs = jnp.asarray(rng.randint(0, 256, size=(B, 224, 224, 3)), jnp.uint8)

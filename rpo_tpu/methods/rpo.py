@@ -21,6 +21,7 @@ TPU-first reformulation (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -266,6 +267,27 @@ def _as_frozen(frozen_or_clip: Params, task: RPOTask) -> Params:
     return make_frozen(frozen_or_clip, task, cache_text_kv=False)
 
 
+def _maybe_remat_scan_body(body):
+    """Optional rematerialization of the tower scan bodies, read at TRACE
+    time from $RPO_TPU_SCAN_REMAT:
+
+      "dots" — jax.checkpoint with the dots_saveable policy: the backward
+               recomputes everything EXCEPT matmul outputs, eliminating
+               the fp32 layer-norm/softmax residual stashes the profiler
+               shows as per-layer HBM traffic (BASELINE.md round-3 op
+               table) at the cost of recomputing cheap VPU work;
+      "full" — plain jax.checkpoint (recompute the whole layer).
+
+    Unset (default) leaves the body untouched.  Kept as an env knob, not
+    a default: measured on TPU v5e (same-process A/B, BASELINE.md)."""
+    mode = os.environ.get("RPO_TPU_SCAN_REMAT", "")
+    if mode == "dots":
+        return jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
+    if mode == "full":
+        return jax.checkpoint(body)
+    return body
+
+
 def encode_text_prompts_cached(
     prompts: Params, frozen: Params, task: RPOTask
 ) -> jax.Array:
@@ -292,7 +314,7 @@ def encode_text_prompts_cached(
         p, k, v = inputs
         return cross_residual_block(x, k, v, p, cfg.text_heads, bias), None
 
-    x, _ = jax.lax.scan(step, x, (t["blocks"], kv["k"], kv["v"]))
+    x, _ = jax.lax.scan(_maybe_remat_scan_body(step), x, (t["blocks"], kv["k"], kv["v"]))
     x = layer_norm(x, t["ln_final"])  # (n_cls, K, d_t) — rows ARE the prompts
     return jnp.einsum(
         "ckd,de->cke", x, t["text_projection"], preferred_element_type=jnp.float32
@@ -430,7 +452,7 @@ def encode_image_prompts_split(
         x_p = cross_residual_block(x_p, k, v_heads, p, cfg.vision_heads, None)
         return (jax.lax.stop_gradient(x_f_next), x_p), None
 
-    (_, x_p), _ = jax.lax.scan(step, (x_f, x_p), v["blocks"])
+    (_, x_p), _ = jax.lax.scan(_maybe_remat_scan_body(step), (x_f, x_p), v["blocks"])
     feats = layer_norm(x_p, v["ln_post"])  # (B, K, d_v)
     return jnp.einsum(
         "bkd,de->bke", feats, v["proj"], preferred_element_type=jnp.float32
