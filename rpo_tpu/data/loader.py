@@ -153,6 +153,10 @@ class BatchLoader:
         tp = self.transform
         if not hasattr(tp, "size") or getattr(tp, "interpolation", "") != "bicubic":
             return None
+        if getattr(tp, "device_resize", 0):
+            # device-resize mode ships raw source pixels; the native
+            # host-resize batch path would defeat it
+            return None
         if not all(
             it.impath.lower().endswith((".jpg", ".jpeg")) for it in batch_items
         ):

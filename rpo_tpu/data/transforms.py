@@ -141,6 +141,10 @@ class TransformPipeline:
         self.use_flip = "random_flip" in transforms
         self.mean = np.asarray(cfg_input.PIXEL_MEAN, np.float32)
         self.std = np.asarray(cfg_input.PIXEL_STD, np.float32)
+        # INPUT.DEVICE_RESIZE > 0: eval images leave the host at this raw
+        # source size; the resize to self.size runs on device (see
+        # ops/preprocess.py and CLIPMethodTrainer.build_model)
+        self.device_resize = int(getattr(cfg_input, "DEVICE_RESIZE", 0))
 
     def image_size(self, impath: str) -> Tuple[int, int]:
         """(width, height) from the header only (no full decode)."""
@@ -182,6 +186,18 @@ class TransformPipeline:
         return (box, flip)
 
     def __call__(self, impath: str, train: bool, plan=None) -> np.ndarray:
+        if not train and self.device_resize:
+            # Device-resize eval path: ship the raw source pixels; the
+            # jitted eval step does bicubic resize + crop + normalize on
+            # device.  Sources of any other size are host-normalized to
+            # the uniform source shape first (square resize+crop) so the
+            # batch stays fixed-shape — rare for the intended datasets
+            # (EuroSAT is uniformly 64x64).
+            S = self.device_resize
+            img = load_image(impath)
+            if img.size != (S, S):
+                img = center_crop(resize_shorter(img, S, self.interpolation), S)
+            return np.asarray(img, dtype=np.uint8)
         if train and plan is None:
             plan = self.make_plan(impath, train)
         native = self._native_path(impath, train, plan)

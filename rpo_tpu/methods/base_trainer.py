@@ -34,6 +34,33 @@ from rpo_tpu.engine.trainer import TrainerBase
 from rpo_tpu.models.clip.pretrained import load_backbone
 
 
+def make_image_prep(cfg, dtype):
+    """uint8 batch -> normalized float batch, shape-aware.
+
+    Full-size batches (train path, or eval without DEVICE_RESIZE) just
+    normalize — XLA fuses it into the patch-embed matmul.  When
+    INPUT.DEVICE_RESIZE > 0, eval batches arrive at the raw source size
+    and the whole resize(bicubic, MXU matmuls) + center-crop + normalize
+    chain runs on device (ops/preprocess.py::device_eval_preprocess) —
+    measured 10.6x end-to-end eval throughput for 64x64 sources on a
+    bandwidth-limited host->device link (BASELINE.md round 3), and 12x
+    less transfer everywhere."""
+    H, W = int(cfg.INPUT.SIZE[0]), int(cfg.INPUT.SIZE[1])
+    mean, std = cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD
+    base = device_normalize_fn(mean, std, dtype=dtype)
+    if not int(cfg.INPUT.DEVICE_RESIZE):
+        return base
+
+    from rpo_tpu.ops.preprocess import device_eval_preprocess
+
+    def prep(images_u8):
+        if images_u8.shape[1] == H and images_u8.shape[2] == W:
+            return base(images_u8)
+        return device_eval_preprocess(images_u8, H, mean, std).astype(dtype)
+
+    return prep
+
+
 def prec_dtype(prec: str):
     """Map a reference PREC name to the compute dtype.
 
@@ -74,9 +101,7 @@ class CLIPMethodTrainer(TrainerBase):
             f"cfg_imsize ({cfg.INPUT.SIZE[0]}) must equal to "
             f"clip_imsize ({self.clip_cfg.image_resolution})"
         )
-        self._normalize = device_normalize_fn(
-            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, dtype=prec_dtype(prec)
-        )
+        self._normalize = make_image_prep(cfg, prec_dtype(prec))
         self._momentum = float(cfg.OPTIM.MOMENTUM)
         self._weight_decay = float(cfg.OPTIM.WEIGHT_DECAY)
         self._nesterov = bool(cfg.OPTIM.SGD_NESTEROV)
@@ -254,6 +279,10 @@ class CLIPMethodTrainer(TrainerBase):
                     imgs, labels, mask, lr,
                 )
 
+        # device-resize mode: eval batches arrive at the raw source size
+        S = int(cfg.INPUT.DEVICE_RESIZE)
+        eH, eW = (S, S) if S else (H, W)
+
         def warm_eval():
             p = dummy_params()
             text_f = (
@@ -261,7 +290,7 @@ class CLIPMethodTrainer(TrainerBase):
                 if self._text_features is not None
                 else None
             )
-            self._eval_step(p, frozen, text_f, jnp.zeros((test_b, H, W, 3), jnp.uint8))
+            self._eval_step(p, frozen, text_f, jnp.zeros((test_b, eH, eW, 3), jnp.uint8))
 
         def guarded(fn):
             def run():

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rpo_tpu.data.transforms import device_normalize_fn
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.engine.trainer import TrainerBase
 from rpo_tpu.methods.templates import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT
@@ -49,9 +48,9 @@ class ZeroshotCLIP(TrainerBase):
         self.clip_params, self.clip_cfg = load_backbone(
             cfg.MODEL.BACKBONE.NAME, dtype=jnp.bfloat16, seed=max(int(cfg.SEED), 0)
         )
-        self._normalize = device_normalize_fn(
-            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, dtype=jnp.bfloat16
-        )
+        from rpo_tpu.methods.base_trainer import make_image_prep
+
+        self._normalize = make_image_prep(cfg, jnp.bfloat16)
         self.text_features = self._text_features_for(self._select_templates())
 
         ccfg, normalize = self.clip_cfg, self._normalize

@@ -1,0 +1,121 @@
+"""INPUT.DEVICE_RESIZE wiring: raw small-source eval batches + on-device
+resize (the measured 10.6x eval path for 64x64 sources, BASELINE.md r3).
+
+Pins: the transform ships raw source pixels for eval (and normalizes odd
+sizes to the uniform source shape), the loader skips the native host-
+resize batch path, make_image_prep routes by shape (full-size batches
+just normalize; source-size batches go through device_eval_preprocess),
+and the routed result matches the host PIL pipeline's logits path within
+the resize tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rpo_tpu.data.transforms import TransformPipeline
+from rpo_tpu.engine import get_cfg_default
+
+
+def _cfg(device_resize=64):
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (224, 224)
+    cfg.INPUT.INTERPOLATION = "bicubic"
+    cfg.INPUT.DEVICE_RESIZE = device_resize
+    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
+    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
+    cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip", "normalize")
+    return cfg
+
+
+@pytest.fixture()
+def img_dir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, size in enumerate([64, 64, 48]):  # one odd-sized source
+        arr = rng.randint(0, 256, size=(size, size, 3), dtype=np.uint8)
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(arr).save(str(p), quality=95)
+        paths.append(str(p))
+    return paths
+
+
+def test_transform_ships_raw_source_for_eval(img_dir):
+    tp = TransformPipeline(_cfg().INPUT)
+    out = tp(img_dir[0], train=False)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    # odd-sized source is host-normalized to the uniform source shape
+    odd = tp(img_dir[2], train=False)
+    assert odd.shape == (64, 64, 3)
+    # train path still produces full-size augmented images on host
+    tr = tp(img_dir[0], train=True)
+    assert tr.shape == (224, 224, 3)
+
+
+def test_loader_skips_native_batch_path(img_dir):
+    from rpo_tpu.data.datum import Datum
+    from rpo_tpu.data.loader import BatchLoader
+
+    tp = TransformPipeline(_cfg().INPUT)
+    items = [Datum(impath=p, label=i) for i, p in enumerate(img_dir)]
+    loader = BatchLoader(items, tp, batch_size=4, train=False, shuffle=False,
+                         num_workers=1)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 64, 64, 3)  # padded to 4, source size
+    assert batch["n"] == 3
+
+
+def test_make_image_prep_routes_by_shape(img_dir):
+    from rpo_tpu.methods.base_trainer import make_image_prep
+    from rpo_tpu.ops.preprocess import device_eval_preprocess
+
+    cfg = _cfg()
+    prep = make_image_prep(cfg, jnp.float32)
+    rng = np.random.RandomState(1)
+    small = jnp.asarray(rng.randint(0, 256, size=(2, 64, 64, 3)), jnp.uint8)
+    full = jnp.asarray(rng.randint(0, 256, size=(2, 224, 224, 3)), jnp.uint8)
+
+    out_small = prep(small)
+    assert out_small.shape == (2, 224, 224, 3)
+    ref = device_eval_preprocess(small, 224, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD)
+    np.testing.assert_allclose(np.asarray(out_small), np.asarray(ref), atol=1e-5)
+
+    out_full = prep(full)
+    # full-size batches take the plain normalize path
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32) * 255.0
+    np.testing.assert_allclose(
+        np.asarray(out_full), (np.asarray(full, np.float32) - mean) / std,
+        rtol=1e-6,
+    )
+
+    # DEVICE_RESIZE=0 returns the plain normalizer (no shape branch)
+    prep0 = make_image_prep(_cfg(device_resize=0), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(prep0(full)),
+        (np.asarray(full, np.float32) - mean) / std, rtol=1e-6,
+    )
+
+
+def test_device_path_matches_host_pipeline(img_dir):
+    """End-to-end: device-resized eval input produces (nearly) the same
+    normalized tensor as the host PIL resize path."""
+    from rpo_tpu.methods.base_trainer import make_image_prep
+
+    cfg = _cfg()
+    tp_host = TransformPipeline(_cfg(device_resize=0).INPUT)
+    tp_dev = TransformPipeline(cfg.INPUT)
+    prep = make_image_prep(cfg, jnp.float32)
+
+    host_img = tp_host(img_dir[0], train=False)  # (224,224,3) u8, PIL path
+    dev_src = tp_dev(img_dir[0], train=False)  # (64,64,3) u8 raw
+
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32) * 255.0
+    host_norm = (host_img.astype(np.float32) - mean) / std
+    dev_norm = np.asarray(prep(jnp.asarray(dev_src[None])))[0]
+    # device bicubic is within +-2/255 of PIL per channel (test_device_preprocess)
+    tol = 2.01 / (0.26130258 * 255)
+    assert np.abs(dev_norm - host_norm).max() < tol
