@@ -59,6 +59,8 @@ class BatchLoader:
         return len(self.items)
 
     def _make_batch(self, batch_items: List[Datum]) -> Dict[str, np.ndarray]:
+        if self.train and getattr(self.transform, "device_resize", 0):
+            return self._make_device_augment_batch(batch_items)
         imgs = self._native_eval_batch(batch_items)
         if imgs is None:
             # Augmentation randomness is drawn HERE, sequentially, so that
@@ -93,6 +95,41 @@ class BatchLoader:
             out_lab[i] = it.label
             out_mask[i] = 1.0
         return {"img": out_img, "label": out_lab, "mask": out_mask, "n": n}
+
+    def _make_device_augment_batch(
+        self, batch_items: List[Datum]
+    ) -> Dict[str, np.ndarray]:
+        """Device-augment train path (INPUT.DEVICE_RESIZE): raw (S, S, 3)
+        uint8 sources + the host-sampled crop boxes/flips; the
+        crop/resize/flip/normalize run inside the jitted train step
+        (device_train_preprocess).  The batch carries 'box' (B, 4) int32
+        [left, top, crop_w, crop_h] and 'flip' (B,) int32; rows without a
+        crop plan (and padding rows) get the full frame."""
+        tp = self.transform
+        S = tp.device_resize
+        # randomness drawn sequentially, exactly like the host path
+        plans = [tp.make_plan(it.impath, True) for it in batch_items]
+        imgs = list(self.pool.map(tp.raw_source, [it.impath for it in batch_items]))
+        B = self.pad_to
+        n = len(batch_items)
+        out_img = np.zeros((B, S, S, 3), np.uint8)
+        out_lab = np.zeros((B,), np.int32)
+        out_mask = np.zeros((B,), np.float32)
+        out_box = np.tile(np.asarray([0, 0, S, S], np.int32), (B, 1))
+        out_flip = np.zeros((B,), np.int32)
+        for i, (im, it, plan) in enumerate(zip(imgs, batch_items, plans)):
+            out_img[i] = im
+            out_lab[i] = it.label
+            out_mask[i] = 1.0
+            if plan is not None:
+                box, flip = plan
+                if box is not None:
+                    out_box[i] = box
+                out_flip[i] = 1 if flip else 0
+        return {
+            "img": out_img, "label": out_lab, "mask": out_mask, "n": n,
+            "box": out_box, "flip": out_flip,
+        }
 
     def _native_train_batch(self, batch_items: List[Datum], plans):
         """Whole-batch decode + planned crop/resize/flip in the C++ thread

@@ -180,10 +180,26 @@ class TransformPipeline:
             return None
         box = None
         if self.use_rrc:
-            w, h = self.image_size(impath)
+            if self.device_resize:
+                # device-augment mode: the box is applied on device to the
+                # uniform (S, S) source, so sample it in those coordinates
+                w = h = self.device_resize
+            else:
+                w, h = self.image_size(impath)
             box = sample_rrc_box(w, h, self.scale)
         flip = bool(self.use_flip and random.random() < 0.5)
         return (box, flip)
+
+    def raw_source(self, impath: str) -> np.ndarray:
+        """Device-augment train path: the raw (S, S, 3) uint8 source (odd
+        sizes host-normalized to the uniform source shape, as in the
+        device-resize eval path); the crop/resize/flip in the plan run on
+        device (ops/preprocess.py::device_train_preprocess)."""
+        S = self.device_resize
+        img = load_image(impath)
+        if img.size != (S, S):
+            img = center_crop(resize_shorter(img, S, self.interpolation), S)
+        return np.asarray(img, dtype=np.uint8)
 
     def __call__(self, impath: str, train: bool, plan=None) -> np.ndarray:
         if not train and self.device_resize:

@@ -196,12 +196,15 @@ def get_cfg_default() -> CfgNode:
                 "PIXEL_STD": [0.229, 0.224, 0.225],
                 "CROP_PADDING": 4,
                 "RRCROP_SCALE": (0.08, 1.0),
-                # TPU-native extension (not in Dassl): when > 0, EVAL
-                # batches carry raw fixed-size source images of this side
-                # length (e.g. 64 for EuroSAT) and the bicubic resize to
-                # INPUT.SIZE runs ON DEVICE inside the jitted eval step
-                # (ops/preprocess.py) — 12x less host->device traffic.
-                # Train batches keep host-side augmentation at full size.
+                # TPU-native extension (not in Dassl): when > 0, batches
+                # carry raw fixed-size source images of this side length
+                # (e.g. 64 for EuroSAT) and preprocessing runs ON DEVICE
+                # inside the jitted steps (ops/preprocess.py) — 12x less
+                # host->device traffic.  Eval: bicubic resize+crop+
+                # normalize.  Train: the host samples the RandomResizedCrop
+                # box/flip (in source coords) and the device builds the
+                # per-image bicubic resample weights and applies
+                # crop+resize+flip+normalize (device_train_preprocess).
                 "DEVICE_RESIZE": 0,
             },
             "MODEL": {

@@ -101,8 +101,9 @@ def device_prefetch(iterator, depth: int = 2):
 
     def put(batch):
         out = dict(batch)
-        for key in ("img", "label", "mask"):
-            out[key] = jnp.asarray(batch[key])
+        for key in ("img", "label", "mask", "box", "flip"):
+            if key in batch:
+                out[key] = jnp.asarray(batch[key])
         return out
 
     it = iter(iterator)

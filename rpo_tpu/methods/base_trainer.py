@@ -51,9 +51,19 @@ def make_image_prep(cfg, dtype):
     if not int(cfg.INPUT.DEVICE_RESIZE):
         return base
 
-    from rpo_tpu.ops.preprocess import device_eval_preprocess
+    from rpo_tpu.ops.preprocess import (
+        device_eval_preprocess,
+        device_train_preprocess,
+    )
 
     def prep(images_u8):
+        if isinstance(images_u8, dict):
+            # device-augment TRAIN batch: raw sources + host-sampled
+            # crop/flip plans (loader._make_device_augment_batch)
+            return device_train_preprocess(
+                images_u8["img"], images_u8["box"], images_u8["flip"],
+                H, mean, std,
+            ).astype(dtype)
         if images_u8.shape[1] == H and images_u8.shape[2] == W:
             return base(images_u8)
         return device_eval_preprocess(images_u8, H, mean, std).astype(dtype)
@@ -244,6 +254,8 @@ class CLIPMethodTrainer(TrainerBase):
 
         n_dev = jax.device_count()
         H, W = int(cfg.INPUT.SIZE[0]), int(cfg.INPUT.SIZE[1])
+        # device-resize mode: batches arrive at the raw source size
+        S = int(cfg.INPUT.DEVICE_RESIZE)
         train_b = pad_multiple(int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE), n_dev)
         test_b = pad_multiple(int(cfg.DATALOADER.TEST.BATCH_SIZE), n_dev)
         group = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
@@ -254,8 +266,16 @@ class CLIPMethodTrainer(TrainerBase):
             return jax.tree_util.tree_map(jnp.zeros_like, self.params)
 
         def batch(b):
+            if S:  # device-augment mode: train batches are source-size dicts
+                imgs = {
+                    "img": jnp.zeros((b, S, S, 3), jnp.uint8),
+                    "box": jnp.tile(jnp.asarray([[0, 0, S, S]], jnp.int32), (b, 1)),
+                    "flip": jnp.zeros((b,), jnp.int32),
+                }
+            else:
+                imgs = jnp.zeros((b, H, W, 3), jnp.uint8)
             return (
-                jnp.zeros((b, H, W, 3), jnp.uint8),
+                imgs,
                 jnp.zeros((b,), jnp.int32),
                 jnp.ones((b,), jnp.float32),
             )
@@ -268,7 +288,9 @@ class CLIPMethodTrainer(TrainerBase):
                 if num_batches % group:
                     sizes.add(num_batches % group)
                 for g in sorted(sizes, reverse=True):
-                    tile = lambda x: jnp.broadcast_to(x[None], (g,) + x.shape)
+                    tile = lambda t: jax.tree_util.tree_map(
+                        lambda x: jnp.broadcast_to(x[None], (g,) + x.shape), t
+                    )
                     self._train_multi_step(
                         dummy_params(), sgd_init(dummy_params()), frozen,
                         tile(imgs), tile(labels), tile(mask), lr,
@@ -279,8 +301,6 @@ class CLIPMethodTrainer(TrainerBase):
                     imgs, labels, mask, lr,
                 )
 
-        # device-resize mode: eval batches arrive at the raw source size
-        S = int(cfg.INPUT.DEVICE_RESIZE)
         eH, eW = (S, S) if S else (H, W)
 
         def warm_eval():
@@ -316,12 +336,24 @@ class CLIPMethodTrainer(TrainerBase):
         self._prewarm_threads = []
 
     # -- lifecycle hooks ----------------------------------------------------
+    @staticmethod
+    def _train_images(batch):
+        """The images argument of the jitted train step: a plain uint8
+        array, or (device-augment mode) a {img, box, flip} pytree."""
+        if "box" in batch:
+            return {
+                "img": jnp.asarray(batch["img"]),
+                "box": jnp.asarray(batch["box"]),
+                "flip": jnp.asarray(batch["flip"]),
+            }
+        return jnp.asarray(batch["img"])
+
     def forward_backward(self, batch) -> Dict[str, float]:
         self.params, self.opt_state, loss, acc = self._train_step(
             self.params,
             self.opt_state,
             self._frozen,
-            jnp.asarray(batch["img"]),
+            self._train_images(batch),
             jnp.asarray(batch["label"]),
             jnp.asarray(batch["mask"]),
             jnp.float32(self.current_lr),
@@ -340,6 +372,12 @@ class CLIPMethodTrainer(TrainerBase):
         train step) — numerically identical sequential SGD; one
         host->device transfer and one program launch per group."""
         imgs = jnp.asarray(np.stack([b["img"] for b in batches]))
+        if "box" in batches[0]:
+            imgs = {
+                "img": imgs,
+                "box": jnp.asarray(np.stack([b["box"] for b in batches])),
+                "flip": jnp.asarray(np.stack([b["flip"] for b in batches])),
+            }
         labels = jnp.asarray(np.stack([b["label"] for b in batches]))
         masks = jnp.asarray(np.stack([b["mask"] for b in batches]))
         self.params, self.opt_state, losses, accs = self._train_multi_step(

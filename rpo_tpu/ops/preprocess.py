@@ -116,3 +116,81 @@ def batch_crop_flip_normalize(
         return (crop - mean_a) / std_a
 
     return jax.vmap(one)(images_u8, crop_tops, crop_lefts, flips)
+
+
+def _traced_resize_weights(src: int, out: int, start, length) -> jax.Array:
+    """(out, src) PIL-style antialiased bicubic weights for resizing the
+    window [start, start+length) of a src-length axis to ``out`` samples —
+    with ``start``/``length`` TRACED scalars, so the matrix is built ON
+    DEVICE per image from the host-sampled crop box.
+
+    Same math as resize_weights() (which has static python ints): for
+    output i, center = start + (i+0.5)*scale, support = 2*filterscale,
+    window [xmin, xmax) with the reference's int() truncation semantics,
+    cubic kernel normalized over the window.  All shapes static
+    ((out, src)); the box only moves values, so this vmaps over a batch.
+    """
+    start = jnp.asarray(start, jnp.float32)
+    length = jnp.maximum(jnp.asarray(length, jnp.float32), 1.0)
+    scale = length / out
+    filterscale = jnp.maximum(scale, 1.0)
+    support = 2.0 * filterscale
+    i = jnp.arange(out, dtype=jnp.float32)[:, None]  # (out, 1)
+    j = jnp.arange(src, dtype=jnp.float32)[None, :]  # (1, src)
+    center = start + (i + 0.5) * scale
+    # int() truncates toward zero (resize_weights uses python int())
+    xmin = jnp.maximum(0.0, jnp.trunc(center - support + 0.5))
+    xmax = jnp.minimum(float(src), jnp.trunc(center + support + 0.5))
+    w = _cubic_jnp((j - center + 0.5) / filterscale)
+    w = jnp.where((j >= xmin) & (j < xmax), w, 0.0)
+    norm = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(norm == 0.0, 1.0, norm)
+
+
+def _cubic_jnp(x: jax.Array, a: float = -0.5) -> jax.Array:
+    x = jnp.abs(x)
+    out = jnp.where(x < 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0, 0.0)
+    return jnp.where((x >= 1.0) & (x < 2.0), (((x - 5.0) * x + 8.0) * x - 4.0) * a, out)
+
+
+def device_train_preprocess(
+    images_u8: jax.Array,
+    boxes: jax.Array,
+    flips: jax.Array,
+    size: int,
+    mean: Iterable[float],
+    std: Iterable[float],
+) -> jax.Array:
+    """Train-path augmentation fully on device for fixed-size sources:
+    RandomResizedCrop (integer box per image, host-sampled: left, top,
+    crop_w, crop_h) + horizontal flip + normalize.
+
+    (B, S, S, 3) uint8 + (B, 4) int32 boxes + (B,) flips ->
+    (B, size, size, 3) float.  The per-image bicubic resample weights are
+    built on device from the box scalars (_traced_resize_weights) and
+    applied as two separable contractions — the whole augmentation is
+    MXU work inside the jitted train step, and the host ships S x S raw
+    pixels instead of size x size resized ones (12x fewer bytes at
+    S=64/size=224).  A full-frame box (0, 0, S, S) reproduces the plain
+    resize; flip is applied AFTER the resize, matching the host
+    transform order (random_resized_crop then random_flip).
+    """
+    B, S, _, _ = images_u8.shape
+    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
+    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+
+    def one(img, box, flip):
+        left, top, cw, ch = box[0], box[1], box[2], box[3]
+        wh = _traced_resize_weights(S, size, left, cw)  # (size, S)
+        wv = _traced_resize_weights(S, size, top, ch)
+        x = img.astype(jnp.float32)
+        # PIL order: horizontal pass then vertical, quantizing between
+        # passes like the host path (clips cubic overshoot)
+        x = jnp.einsum("pw,hwc->hpc", wh, x)
+        x = jnp.clip(jnp.round(x), 0, 255)
+        x = jnp.einsum("oh,hpc->opc", wv, x)
+        x = jnp.clip(jnp.round(x), 0, 255)
+        x = jnp.where(flip > 0, x[:, ::-1, :], x)
+        return (x - mean_a) / std_a
+
+    return jax.vmap(one)(images_u8, boxes, flips)

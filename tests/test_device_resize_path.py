@@ -119,3 +119,125 @@ def test_device_path_matches_host_pipeline(img_dir):
     # device bicubic is within +-2/255 of PIL per channel (test_device_preprocess)
     tol = 2.01 / (0.26130258 * 255)
     assert np.abs(dev_norm - host_norm).max() < tol
+
+
+def test_device_train_preprocess_matches_pil_rrc(img_dir):
+    """device_train_preprocess (on-device per-image bicubic resample
+    weights built from the host-sampled integer crop box) matches PIL's
+    box-resize + flip within the same +-2/255 as the eval resize."""
+    import random
+
+    from PIL import Image
+
+    from rpo_tpu.data.transforms import sample_rrc_box
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+
+    cfg = _cfg()
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32) * 255.0
+    rng = np.random.RandomState(3)
+    random.seed(3)
+    S, OUT = 64, 224
+    imgs = rng.randint(0, 256, size=(5, S, S, 3), dtype=np.uint8)
+    boxes = [(0, 0, S, S)] + [sample_rrc_box(S, S) for _ in range(4)]
+    flips = [0, 1, 0, 1, 1]
+    out = np.asarray(
+        device_train_preprocess(
+            jnp.asarray(imgs), jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(flips, jnp.int32), OUT,
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        )
+    )
+    tol = 2.01 / (0.26130258 * 255)
+    for i, ((left, top, cw, ch), flip) in enumerate(zip(boxes, flips)):
+        ref = Image.fromarray(imgs[i]).resize(
+            (OUT, OUT), Image.BICUBIC, box=(left, top, left + cw, top + ch)
+        )
+        ref = np.asarray(ref, np.float32)
+        if flip:
+            ref = ref[:, ::-1]
+        ref = (ref - mean) / std
+        assert np.abs(out[i] - ref).max() < tol, f"image {i}"
+
+
+def test_loader_device_augment_train_batch(img_dir):
+    from rpo_tpu.data.datum import Datum
+    from rpo_tpu.data.loader import BatchLoader
+
+    tp = TransformPipeline(_cfg().INPUT)
+    items = [Datum(impath=p, label=i) for i, p in enumerate(img_dir)]
+    loader = BatchLoader(items, tp, batch_size=4, train=True, shuffle=False,
+                         num_workers=1)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 64, 64, 3)
+    assert batch["box"].shape == (4, 4) and batch["box"].dtype == np.int32
+    assert batch["flip"].shape == (4,)
+    # real rows carry RRC boxes inside the source frame
+    for i in range(batch["n"]):
+        left, top, cw, ch = batch["box"][i]
+        assert 0 < cw <= 64 and 0 < ch <= 64
+        assert 0 <= left <= 64 - cw and 0 <= top <= 64 - ch
+    # padding rows are full-frame (valid resample weights)
+    assert list(batch["box"][3]) == [0, 0, 64, 64]
+
+
+def test_make_image_prep_routes_train_dict(img_dir):
+    from rpo_tpu.methods.base_trainer import make_image_prep
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+
+    cfg = _cfg()
+    prep = make_image_prep(cfg, jnp.float32)
+    rng = np.random.RandomState(5)
+    d = {
+        "img": jnp.asarray(rng.randint(0, 256, size=(2, 64, 64, 3)), jnp.uint8),
+        "box": jnp.asarray([[0, 0, 64, 64], [8, 8, 32, 40]], jnp.int32),
+        "flip": jnp.asarray([0, 1], jnp.int32),
+    }
+    out = prep(d)
+    assert out.shape == (2, 224, 224, 3)
+    ref = device_train_preprocess(
+        d["img"], d["box"], d["flip"], 224,
+        cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_device_augment_images_shard_on_mesh():
+    """The {img, box, flip} train-images pytree shards over the data mesh
+    (NamedSharding prefix applies to every leaf) and the sharded step
+    matches single-device."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+    from rpo_tpu.parallel.dp import make_mesh, shard_train_step
+
+    mesh = make_mesh()
+    n = jax.device_count()
+    B = 2 * n
+    rng = np.random.RandomState(0)
+    imgs = {
+        "img": jnp.asarray(rng.randint(0, 256, size=(B, 16, 16, 3)), jnp.uint8),
+        "box": jnp.tile(jnp.asarray([[2, 2, 12, 12]], jnp.int32), (B, 1)),
+        "flip": jnp.asarray(rng.randint(0, 2, size=(B,)), jnp.int32),
+    }
+
+    def train_step(params, opt_state, frozen, images, labels, mask, lr):
+        x = device_train_preprocess(
+            images["img"], images["box"], images["flip"], 32,
+            [0.5, 0.5, 0.5], [0.25, 0.25, 0.25],
+        )
+        loss = jnp.sum(x * mask[:, None, None, None] * params["w"]) / jnp.sum(mask)
+        return params, opt_state, loss
+
+    params = {"w": jnp.float32(1.0)}
+    labels = jnp.zeros((B,), jnp.int32)
+    mask = jnp.asarray((np.arange(B) < B - 1).astype(np.float32))
+    step = shard_train_step(train_step, mesh, donate=False)
+    _, _, loss_dp = step(params, None, None, imgs, labels, mask, jnp.float32(0.1))
+    _, _, loss_sd = jax.jit(train_step)(
+        params, None, None, imgs, labels, mask, jnp.float32(0.1)
+    )
+    # cross-device reduction order differs on the ~100k-element sum
+    np.testing.assert_allclose(float(loss_dp), float(loss_sd), rtol=1e-4)

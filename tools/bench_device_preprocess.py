@@ -40,7 +40,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--n-cls", type=int, default=51)
     ap.add_argument("--k", type=int, default=24)
+    ap.add_argument("--phase", choices=["eval", "train"], default="eval")
     args = ap.parse_args()
+    if args.phase == "train":
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp
@@ -150,6 +153,120 @@ def main() -> None:
                     "top1_agreement_host_vs_device_resize": agree,
                     "src_size": args.src,
                     "batch": args.batch,
+                },
+            }
+        )
+    )
+
+
+def bench_train(args) -> None:
+    """Train-path A/B at the protocol batch (default via --batch 4):
+    host-augmented 224 batches vs raw source + on-device RandomResizedCrop
+    (device_train_preprocess), each with a fresh H2D transfer per step."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.environ.get(
+        "RPO_TPU_XLA_CACHE", os.path.expanduser("~/.cache/rpo_tpu/xla")
+    )
+    if cache and cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+
+    from rpo_tpu.data.transforms import device_normalize_fn, sample_rrc_box
+    from rpo_tpu.engine.optim import sgd_init, sgd_update
+    from rpo_tpu.methods import rpo as core
+    from rpo_tpu.models.clip import VIT_B16, cast_params, init_clip
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+
+    cfg = VIT_B16
+    size = cfg.image_resolution
+    B = args.batch if args.batch != 100 else 4  # protocol train batch
+    params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    classnames = [f"object category {i}" for i in range(args.n_cls)]
+    task = core.make_task(cfg, classnames, "a photo of a _.", args.k)
+    prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, args.k)
+    frozen = core.make_frozen(params, task)
+    normalize = device_normalize_fn(MEAN, STD, dtype=jnp.bfloat16)
+
+    def step_from(prep):
+        def train_step(prompts, opt_state, frozen, images, labels, mask, lr):
+            def loss_fn(p):
+                lg = core.rpo_logits(
+                    p, frozen, task, prep(images), split_vision=True
+                )
+                lp = jax.nn.log_softmax(lg, -1)
+                nll = -jnp.take_along_axis(lp, labels[:, None], -1)[:, 0]
+                return jnp.sum(nll * mask) / jnp.sum(mask)
+
+            loss, g = jax.value_and_grad(loss_fn)(prompts)
+            prompts, opt_state = sgd_update(prompts, g, opt_state, lr)
+            return prompts, opt_state, loss
+
+        return jax.jit(train_step)
+
+    jit_host = step_from(normalize)
+    jit_dev = step_from(
+        lambda d: device_train_preprocess(
+            d["img"], d["box"], d["flip"], size, MEAN, STD
+        ).astype(jnp.bfloat16)
+    )
+
+    rng = np.random.RandomState(0)
+    random.seed(0)
+    host_full = rng.randint(0, 256, size=(B, size, size, 3)).astype(np.uint8)
+    host_aug = {
+        "img": rng.randint(0, 256, size=(B, args.src, args.src, 3)).astype(np.uint8),
+        "box": np.asarray(
+            [sample_rrc_box(args.src, args.src) for _ in range(B)], np.int32
+        ),
+        "flip": rng.randint(0, 2, size=(B,)).astype(np.int32),
+    }
+    labels = jnp.asarray(rng.randint(0, args.n_cls, size=B), jnp.int32)
+    mask = jnp.ones((B,), jnp.float32)
+    lr = jnp.float32(0.01)
+
+    def to_dev(x):
+        return jax.tree_util.tree_map(jnp.asarray, x)
+
+    def timed(jit_fn, host_batch, n=30):
+        p, o = prompts, sgd_init(prompts)
+        p, o, loss = jit_fn(p, o, frozen, to_dev(host_batch), labels, mask, lr)
+        float(loss)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                p, o, loss = jit_fn(
+                    p, o, frozen, to_dev(host_batch), labels, mask, lr
+                )
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        return n * B / min(times)
+
+    a_img_s = timed(jit_host, host_full)
+    b_img_s = timed(jit_dev, host_aug)
+
+    print(
+        json.dumps(
+            {
+                "metric": "device_augment_train_images_per_sec",
+                "value": round(b_img_s, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(b_img_s / a_img_s, 3),
+                "extras": {
+                    "host_augmented_images_per_sec": round(a_img_s, 2),
+                    "device_augmented_images_per_sec": round(b_img_s, 2),
+                    "h2d_bytes_per_step_host_path": int(host_full.nbytes),
+                    "h2d_bytes_per_step_device_path": int(
+                        host_aug["img"].nbytes
+                        + host_aug["box"].nbytes
+                        + host_aug["flip"].nbytes
+                    ),
+                    "train_batch": B,
+                    "src_size": args.src,
                 },
             }
         )
