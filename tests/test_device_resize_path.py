@@ -241,3 +241,31 @@ def test_device_augment_images_shard_on_mesh():
     )
     # cross-device reduction order differs on the ~100k-element sum
     np.testing.assert_allclose(float(loss_dp), float(loss_sd), rtol=1e-4)
+
+
+def test_cli_smoke_device_resize(tmp_path):
+    """Full CLI train+eval through the device-augment batches (train) and
+    device-resize eval path — the real user surface with
+    INPUT.DEVICE_RESIZE."""
+    import os
+
+    from .test_engine_e2e import run_cli
+
+    out = str(tmp_path / "run")
+    proc = run_cli(
+        [
+            "--seed", "1",
+            "--trainer", "RPO",
+            "--dataset-config-file", "configs/datasets/synthetic.yaml",
+            "--config-file", "configs/trainers/RPO/main.yaml",
+            "--output-dir", out,
+            "DATASET.NUM_SHOTS", "4",
+            "OPTIM.MAX_EPOCH", "1",
+            "MODEL.BACKBONE.NAME", "TINY",
+            "INPUT.SIZE", "(32, 32)",
+            "TRAINER.RPO.PREC", "fp32",
+            "INPUT.DEVICE_RESIZE", "16",
+        ]
+    )
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "Finish training" in log and "* accuracy:" in log
