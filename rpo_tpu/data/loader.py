@@ -109,7 +109,13 @@ class BatchLoader:
         S = tp.device_resize
         # randomness drawn sequentially, exactly like the host path
         plans = [tp.make_plan(it.impath, True) for it in batch_items]
-        imgs = list(self.pool.map(tp.raw_source, [it.impath for it in batch_items]))
+        # decode-to-source via the C++ batch kernel when possible (at
+        # size=S the eval kernel IS raw_source), else the PIL pool
+        imgs = self._native_fixed_batch(batch_items, S)
+        if imgs is None:
+            imgs = list(
+                self.pool.map(tp.raw_source, [it.impath for it in batch_items])
+            )
         B = self.pad_to
         n = len(batch_items)
         out_img = np.zeros((B, S, S, 3), np.uint8)
@@ -183,16 +189,22 @@ class BatchLoader:
         return imgs
 
     def _native_eval_batch(self, batch_items: List[Datum]):
-        """Whole-batch decode+resize+crop in the C++ thread pool (eval path,
-        all-JPEG batches): bypasses per-image Python dispatch and the GIL."""
         if self.train:
             return None
         tp = self.transform
-        if not hasattr(tp, "size") or getattr(tp, "interpolation", "") != "bicubic":
-            return None
-        if getattr(tp, "device_resize", 0):
-            # device-resize mode ships raw source pixels; the native
-            # host-resize batch path would defeat it
+        # device-resize mode ships raw source pixels: the SAME native
+        # kernel serves it with size=S (resize-shorter-to-S + center-crop
+        # S is identity for exact-size sources, and exactly raw_source's
+        # host-normalization for odd ones)
+        size = getattr(tp, "device_resize", 0) or getattr(tp, "size", 0)
+        return self._native_fixed_batch(batch_items, size)
+
+    def _native_fixed_batch(self, batch_items: List[Datum], size: int):
+        """Whole-batch decode + resize-shorter + center-crop to ``size``
+        in the C++ thread pool (all-JPEG batches): bypasses per-image
+        Python dispatch and the GIL."""
+        tp = self.transform
+        if not size or getattr(tp, "interpolation", "") != "bicubic":
             return None
         if not all(
             it.impath.lower().endswith((".jpg", ".jpeg")) for it in batch_items
@@ -206,7 +218,6 @@ class BatchLoader:
         import ctypes
 
         n = len(batch_items)
-        size = tp.size
         out = np.empty((n, size, size, 3), np.uint8)
         ok = np.zeros((n,), np.uint8)
         arr = (ctypes.c_char_p * n)(*[it.impath.encode() for it in batch_items])
@@ -220,8 +231,13 @@ class BatchLoader:
         for i, it in enumerate(batch_items):
             if ok[i]:
                 imgs.append(out[i])
-            else:  # corrupt/non-JPEG content: PIL fallback per item
-                imgs.append(self.transform(it.impath, False))
+            else:  # corrupt/non-JPEG content: per-item fallback at the
+                # same target size (device-resize mode must NOT fall back
+                # to the full-size transform — raw_source matches size)
+                if getattr(tp, "device_resize", 0) == size:
+                    imgs.append(tp.raw_source(it.impath))
+                else:
+                    imgs.append(self.transform(it.impath, False))
         return imgs
 
     def _order(self) -> List[int]:
