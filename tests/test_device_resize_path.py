@@ -54,7 +54,9 @@ def test_transform_ships_raw_source_for_eval(img_dir):
     assert tr.shape == (224, 224, 3)
 
 
-def test_loader_skips_native_batch_path(img_dir):
+def test_loader_eval_batches_at_source_size(img_dir):
+    """Eval batches in device-resize mode carry raw source-size pixels
+    (served by the native C++ kernel at size=S when available)."""
     from rpo_tpu.data.datum import Datum
     from rpo_tpu.data.loader import BatchLoader
 
@@ -65,6 +67,11 @@ def test_loader_skips_native_batch_path(img_dir):
     batch = next(iter(loader))
     assert batch["img"].shape == (4, 64, 64, 3)  # padded to 4, source size
     assert batch["n"] == 3
+    # the native kernel and the PIL raw_source path must agree bit-for-bit
+    native = loader._native_fixed_batch(items, 64)
+    if native is not None:
+        for im, it in zip(native, items):
+            np.testing.assert_array_equal(im, tp.raw_source(it.impath))
 
 
 def test_make_image_prep_routes_by_shape(img_dir):
