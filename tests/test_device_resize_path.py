@@ -276,3 +276,16 @@ def test_cli_smoke_device_resize(tmp_path):
     )
     log = open(os.path.join(out, "log.txt")).read()
     assert "Finish training" in log and "* accuracy:" in log
+
+
+def test_traced_resize_weights_match_static():
+    """_traced_resize_weights with a full frame (start 0, length src)
+    reproduces the static resize_weights matrix exactly, for both up-
+    and down-scaling."""
+    from rpo_tpu.ops.preprocess import _traced_resize_weights, resize_weights
+
+    for src, out in [(64, 224), (224, 64), (48, 224), (224, 224)]:
+        ref = resize_weights(src, out)
+        got = np.asarray(_traced_resize_weights(src, out, 0, src))
+        # static path computes in float64 numpy, traced in fp32 on device
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"{src}->{out}")
