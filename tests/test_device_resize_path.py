@@ -272,6 +272,8 @@ def test_cli_smoke_device_resize(tmp_path):
             "INPUT.SIZE", "(32, 32)",
             "TRAINER.RPO.PREC", "fp32",
             "INPUT.DEVICE_RESIZE", "16",
+            # grouped dispatch must handle the {img,box,flip} batch pytree
+            "TRAIN.STEPS_PER_DISPATCH", "2",
         ]
     )
     log = open(os.path.join(out, "log.txt")).read()
