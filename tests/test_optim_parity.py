@@ -76,3 +76,35 @@ def test_cosine_schedule_matches_torch():
         np.testing.assert_allclose(ours, torch_lr, rtol=1e-6)
         opt.step()  # torch wants optimizer.step() before scheduler.step()
         sched.step()
+
+
+def test_constant_warmup_composition_matches_dassl():
+    """lr_at_epoch's warmup->cosine composition vs a torch reconstruction
+    of Dassl's ConstantWarmupScheduler (stepped once per epoch): warmup
+    epochs at cons_lr, then the cosine successor restarts from ITS epoch 0
+    — the first post-warmup epoch trains at the full base LR."""
+    from tests.test_full_protocol_parity import DasslConstantWarmup
+
+    class O:
+        LR = 0.01
+        MAX_EPOCH = 15
+        LR_SCHEDULER = "cosine"
+        WARMUP_EPOCH = 1
+        WARMUP_TYPE = "constant"
+        WARMUP_CONS_LR = 1e-5
+        WARMUP_MIN_LR = 1e-5
+        STEPSIZE = (-1,)
+        GAMMA = 0.1
+
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([w], lr=O.LR)
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=O.MAX_EPOCH)
+    sched = DasslConstantWarmup(opt, cosine, O.WARMUP_EPOCH, O.WARMUP_CONS_LR)
+    for epoch in range(O.MAX_EPOCH):
+        torch_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(
+            lr_at_epoch(O, epoch), torch_lr, rtol=1e-9,
+            err_msg=f"epoch {epoch}",
+        )
+        opt.step()
+        sched.step()
