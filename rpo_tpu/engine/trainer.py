@@ -90,8 +90,8 @@ class MetricMeter:
         return " ".join(parts)
 
 
-def device_prefetch(iterator, depth: int = 2):
-    """Yield batches with img/label/mask already transferred to device,
+def device_prefetch(iterator, depth: int = 2, keys=("img", "label", "mask", "box", "flip")):
+    """Yield batches with the given keys already transferred to device,
     keeping ``depth`` transfers in flight: overlaps host->device copies
     with the running step (transfers dominate per-step cost when the TPU
     is remote-attached)."""
@@ -101,7 +101,7 @@ def device_prefetch(iterator, depth: int = 2):
 
     def put(batch):
         out = dict(batch)
-        for key in ("img", "label", "mask", "box", "flip"):
+        for key in keys:
             if key in batch:
                 out[key] = jnp.asarray(batch[key])
         return out
@@ -427,7 +427,12 @@ class TrainerBase:
         # Dispatch pipeline with up to three batches in flight: enqueue
         # the next batches' evals before pulling earlier logits off the
         # device, so decode/H2D/compute/D2H overlap instead of paying a
-        # serial round trip per batch.
+        # serial round trip per batch.  Images are prefetched to device
+        # two batches deep (labels stay on host — the evaluator consumes
+        # them there), so the H2D copy of batch N+1 can overlap batch N's
+        # compute on hosts with async DMA.  (On this dev environment's
+        # tunneled TPU the copies serialize regardless — measured +-2%;
+        # the lever there is shrinking bytes via INPUT.DEVICE_RESIZE.)
         pending: deque = deque()
 
         def drain() -> None:
@@ -435,7 +440,7 @@ class TrainerBase:
             logits = np.asarray(logits_dev, dtype=np.float32)
             self.evaluator.process(logits[:n], labels[:n])
 
-        for batch in loader:
+        for batch in device_prefetch(loader, keys=("img",)):
             pending.append(
                 (self.model_inference_async(batch["img"]), batch["label"], batch["n"])
             )
