@@ -205,14 +205,29 @@ class TransformPipeline:
         if not train and self.device_resize:
             # Device-resize eval path: ship the raw source pixels; the
             # jitted eval step does bicubic resize + crop + normalize on
-            # device.  Sources of any other size are host-normalized to
-            # the uniform source shape first (square resize+crop) so the
-            # batch stays fixed-shape — rare for the intended datasets
-            # (EuroSAT is uniformly 64x64).
+            # device.  (The loader's batch path serves the same result
+            # via the native C++ kernel.)
+            return self.raw_source(impath)
+        if train and self.device_resize:
+            # Host-side equivalent of the device-augment train path
+            # (plans are sampled in (S, S) source coordinates): decode to
+            # the uniform source, apply the planned box/flip with PIL.
+            # Production batches run this math on device
+            # (device_train_preprocess); this path keeps the transform
+            # callable coherent for per-item fallbacks and tests.
+            if plan is None:
+                plan = self.make_plan(impath, train)
+            img = Image.fromarray(self.raw_source(impath))
+            box, flip = plan if plan is not None else (None, False)
             S = self.device_resize
-            img = load_image(impath)
-            if img.size != (S, S):
-                img = center_crop(resize_shorter(img, S, self.interpolation), S)
+            left, top, cw, ch = box if box is not None else (0, 0, S, S)
+            img = img.resize(
+                (self.size, self.size),
+                _interp(self.interpolation),
+                box=(left, top, left + cw, top + ch),
+            )
+            if flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
             return np.asarray(img, dtype=np.uint8)
         if train and plan is None:
             plan = self.make_plan(impath, train)

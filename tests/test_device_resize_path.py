@@ -291,3 +291,28 @@ def test_traced_resize_weights_match_static():
         got = np.asarray(_traced_resize_weights(src, out, 0, src))
         # static path computes in float64 numpy, traced in fp32 on device
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"{src}->{out}")
+
+
+def test_host_train_call_matches_device_path(img_dir):
+    """TransformPipeline(train=True) in device-resize mode is the host
+    PIL equivalent of the device-augment path for the SAME plan — the
+    per-item fallback and the jitted path agree within resize tolerance."""
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+
+    cfg = _cfg()
+    tp = TransformPipeline(cfg.INPUT)
+    plan = ((8, 4, 40, 48), True)
+    host = tp(img_dir[0], train=True, plan=plan)  # (224,224,3) u8
+    src = tp.raw_source(img_dir[0])
+    dev = np.asarray(
+        device_train_preprocess(
+            jnp.asarray(src[None]), jnp.asarray([[8, 4, 40, 48]], jnp.int32),
+            jnp.asarray([1], jnp.int32), 224,
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+        )
+    )[0]
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32) * 255.0
+    host_norm = (host.astype(np.float32) - mean) / std
+    tol = 2.01 / (0.26130258 * 255)
+    assert np.abs(dev - host_norm).max() < tol
