@@ -316,3 +316,37 @@ def test_host_train_call_matches_device_path(img_dir):
     host_norm = (host.astype(np.float32) - mean) / std
     tol = 2.01 / (0.26130258 * 255)
     assert np.abs(dev - host_norm).max() < tol
+
+
+def test_device_train_preprocess_downscale_boxes():
+    """Crop boxes larger than the target (downscale: antialiased window
+    with filterscale > 1) also match PIL — the regime the TINY-config
+    dryrun runs (source 16 -> target 32 with sub-frame crops covers
+    upscale; here source 64 -> target 32 makes full-frame and large
+    boxes are true downscales)."""
+    from PIL import Image
+
+    from rpo_tpu.ops.preprocess import device_train_preprocess
+
+    mean = [0.5, 0.5, 0.5]
+    std = [0.25, 0.25, 0.25]
+    rng = np.random.RandomState(9)
+    S, OUT = 64, 32
+    imgs = rng.randint(0, 256, size=(3, S, S, 3), dtype=np.uint8)
+    boxes = [(0, 0, 64, 64), (4, 8, 56, 48), (10, 2, 40, 60)]
+    flips = [0, 1, 0]
+    out = np.asarray(
+        device_train_preprocess(
+            jnp.asarray(imgs), jnp.asarray(boxes, jnp.int32),
+            jnp.asarray(flips, jnp.int32), OUT, mean, std,
+        )
+    )
+    for i, ((left, top, cw, ch), flip) in enumerate(zip(boxes, flips)):
+        ref = Image.fromarray(imgs[i]).resize(
+            (OUT, OUT), Image.BICUBIC, box=(left, top, left + cw, top + ch)
+        )
+        ref = np.asarray(ref, np.float32)
+        if flip:
+            ref = ref[:, ::-1]
+        ref = (ref - np.asarray(mean) * 255.0) / (np.asarray(std) * 255.0)
+        assert np.abs(out[i] - ref).max() < 2.01 / (0.25 * 255), f"image {i}"
