@@ -350,3 +350,32 @@ def test_device_train_preprocess_downscale_boxes():
             ref = ref[:, ::-1]
         ref = (ref - np.asarray(mean) * 255.0) / (np.asarray(std) * 255.0)
         assert np.abs(out[i] - ref).max() < 2.01 / (0.25 * 255), f"image {i}"
+
+
+def test_device_augment_plans_deterministic(img_dir):
+    """Seeded runs draw identical crop/flip plans in device-augment mode
+    (randomness sequential on the producer thread, as in the host path)."""
+    import random
+
+    from rpo_tpu.data.datum import Datum
+    from rpo_tpu.data.loader import BatchLoader
+
+    tp = TransformPipeline(_cfg().INPUT)
+    items = [Datum(impath=p, label=i) for i, p in enumerate(img_dir)]
+
+    def run():
+        random.seed(7)
+        loader = BatchLoader(items, tp, batch_size=4, train=True, shuffle=True,
+                             num_workers=2)
+        out = []
+        for _ in range(2):  # two epochs
+            for b in loader:
+                out.append((b["label"].copy(), b["box"].copy(), b["flip"].copy()))
+        return out
+
+    a, b = run(), run()
+    assert len(a) == len(b)
+    for (la, xa, fa), (lb, xb, fb) in zip(a, b):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(fa, fb)
