@@ -22,9 +22,13 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # Link into a temp file and rename into place: os.replace gives _SO a
+    # fresh inode, so a retry CDLL(_SO) dlopens the new library instead of
+    # glibc's cached handle for the old (possibly stale, still-mapped) one.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-ljpeg", "-lpthread",
+        _SRC, "-o", tmp, "-ljpeg", "-lpthread",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
@@ -34,6 +38,10 @@ def _build() -> bool:
         import sys
 
         print(f"rpo_tpu native build failed:\n{res.stderr}", file=sys.stderr)
+        return False
+    try:
+        os.replace(tmp, _SO)
+    except OSError:
         return False
     return True
 

@@ -134,11 +134,25 @@ class CoCoOp(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params}
 
-        train_step = self._make_train_step(
-            lambda p, frozen, images_u8: cocoop_logits(
-                p, frozen["clip"], task, normalize(images_u8)
+        def train_logits(p, frozen, images_u8):
+            # Large train batches need remat + chunked lax.map: plain vmap
+            # stashes B x n_cls x 77 text-tower activations for backward
+            # (B>=16 OOMs a 16GB v5e at n_cls~51); remat alone still holds
+            # all images' scan residuals, chunking bounds the peak to one
+            # chunk's recompute.  Mirrors bench.py's measured policy.
+            B = images_u8.shape[0]
+            remat = B >= 16
+            chunk = 0
+            if remat:
+                chunk = max(1, min(8, B))
+                while B % chunk:
+                    chunk -= 1
+            return cocoop_logits(
+                p, frozen["clip"], task, normalize(images_u8),
+                chunk=chunk, remat_per_image=remat,
             )
-        )
+
+        train_step = self._make_train_step(train_logits)
 
         def eval_step(params, frozen, _unused_text_f, images_u8):
             # chunked over images: bounds text-tower memory at large n_cls

@@ -156,9 +156,11 @@ def main() -> None:
             # checkpoint) or silently evaluate a stale checkpoint left at
             # the same train_dir by a previous sweep — report it blocked
             # instead of launching train.py
+            # Completed test jobs stay runnable regardless: run_job skips
+            # them, and a re-run over pruned/lost train dirs still exits 0.
             ready = []
             for j in batch:
-                if job_done(j["train_dir"], "train"):
+                if job_done(j["output_dir"], j["phase"]) or job_done(j["train_dir"], "train"):
                     ready.append(j)
                 else:
                     print(f"[blocked] {j['output_dir']} (train incomplete: {j['train_dir']})")

@@ -188,3 +188,39 @@ def test_bad_file_falls_back(lib, tmp_path):
         str(bad).encode(), 224, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
     assert rc == -1  # python caller falls back to PIL
+
+
+def test_stale_so_rebuilds_in_process(lib, tmp_path):
+    """A stale librpo_image.so (mtime newer than the source, missing newer
+    symbols) must be rebuilt AND usable in the same process.  The rebuild
+    links into a temp file and os.replace's it over _SO: the retry dlopen
+    then sees a fresh inode instead of glibc's cached handle for the stale
+    mapping (which ctypes never dlcloses)."""
+    import subprocess
+
+    import rpo_tpu._native as native
+
+    stub_c = tmp_path / "stub.c"
+    stub_c.write_text("int rpo_stub(void) { return 0; }\n")
+    stub_so = tmp_path / "stub.so"
+    res = subprocess.run(
+        ["g++", "-shared", "-fPIC", str(stub_c), "-o", str(stub_so)],
+        capture_output=True,
+    )
+    if res.returncode != 0:
+        pytest.skip("cannot compile stub library")
+
+    # Plant the stub at _SO as a NEW inode (unlink first — truncating the
+    # mapped good library in place would corrupt live handles) with an
+    # mtime beating the source, as a copied/touched artifact would have.
+    os.unlink(native._SO)
+    with open(stub_so, "rb") as s, open(native._SO, "wb") as d:
+        d.write(s.read())
+    src_mtime = os.path.getmtime(native._SRC)
+    os.utime(native._SO, (src_mtime + 10, src_mtime + 10))
+    native._lib = None
+    native._build_failed = False
+
+    fresh = native.get_lib()
+    assert fresh is not None, "in-process rebuild after stale-symbol load failed"
+    assert hasattr(fresh, "rpo_train_preprocess_batch")

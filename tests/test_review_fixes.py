@@ -142,12 +142,15 @@ def test_amp_aliases_fp16():
     assert lowered("amp") == lowered("fp16")
 
 
-def test_cocoop_remat_per_image_equivalent():
-    """remat_per_image (jax.checkpoint on the per-image text encoder — the
-    memory-wall escape for large train batches) must not change logits or
-    gradients."""
+def test_cocoop_remat_and_chunking_equivalent():
+    """The large-train-batch memory-wall escapes — remat_per_image
+    (jax.checkpoint on the per-image text encoder) and the production
+    B >= 16 policy of remat + chunked lax.map (mirroring bench.py's
+    measured policy) — must not change logits or gradients vs the plain
+    vmapped formulation.  One shared baseline keeps CPU compiles to 3."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from rpo_tpu.methods import cocoop
     from rpo_tpu.methods import coop
@@ -165,23 +168,29 @@ def test_cocoop_remat_per_image_equivalent():
         "meta_net": cocoop.init_meta_net(k_meta, cfg.embed_dim, cfg.text_width),
     }
     task = coop.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+    # numerics are B-independent; small B keeps the CPU compile cheap while
+    # still exercising the chunked lax.map path (chunk < B)
+    B = 8
     images = jax.random.uniform(
-        jax.random.PRNGKey(2), (4, cfg.image_resolution, cfg.image_resolution, 3)
+        jax.random.PRNGKey(2), (B, cfg.image_resolution, cfg.image_resolution, 3)
     )
-    labels = jnp.asarray([0, 1, 2, 0])
+    labels = jnp.asarray(np.arange(B) % len(classnames))
 
-    def loss(p, remat):
+    def loss(p, chunk, remat):
         lg = cocoop.cocoop_logits(p, clip_params, task, images,
-                                  remat_per_image=remat)
+                                  chunk=chunk, remat_per_image=remat)
         lp = jax.nn.log_softmax(lg, -1)
         return -jnp.take_along_axis(lp, labels[:, None], -1).mean()
 
-    import numpy as np
-
-    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
-    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    flat0 = jax.tree_util.tree_leaves(g0)
-    flat1 = jax.tree_util.tree_leaves(g1)
-    for a, b in zip(flat0, flat1):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, 0, False))(params)
+    for chunk, remat in ((0, True), (4, True)):
+        l1, g1 = jax.value_and_grad(
+            lambda p, _c=chunk, _r=remat: loss(p, _c, _r)
+        )(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )

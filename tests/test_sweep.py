@@ -119,3 +119,32 @@ def test_test_jobs_blocked_when_train_incomplete(tmp_path, monkeypatch, capsys):
     # the train job ran; both test jobs were blocked, not launched
     assert len(launched) == 1 and "train_base" in launched[0]
     assert out.count("[blocked]") == 2
+
+
+def test_completed_test_jobs_not_blocked_by_pruned_train_dir(tmp_path, monkeypatch, capsys):
+    """Re-running a finished sweep after the train dirs were pruned (large
+    checkpoints) must not report the completed test jobs as blocked: the
+    phase-1 gate checks the test job's own completion before requiring a
+    live train log, so the sweep re-verifies and exits 0."""
+    sweep = _load_sweep()
+    launched = []
+    monkeypatch.setattr(
+        sweep, "run_job", lambda job, args: launched.append(job["output_dir"]) or True
+    )
+    monkeypatch.setattr(sweep, "REPO", str(tmp_path))
+    jobs = sweep.make_base2new_jobs(_args(datasets=["dtd"], seeds=[1]))
+    done_log = "=> result\n* accuracy: 50.0%\nFinish training\n"
+    for j in jobs:
+        if j["phase"] != "train":
+            os.makedirs(tmp_path / j["output_dir"])
+            (tmp_path / j["output_dir"] / "log.txt").write_text(done_log)
+        # train_dir is deliberately absent (pruned)
+    monkeypatch.setattr(sweep.sys, "argv", [
+        "sweep.py", "base2new", "--datasets", "dtd", "--seeds", "1",
+        "--shots", "16", "--workers", "1",
+    ])
+    sweep.main()  # must NOT sys.exit(1)
+    out = capsys.readouterr().out
+    assert "[blocked]" not in out
+    # all 3 jobs reached run_job (which skips the completed ones)
+    assert len(launched) == 3
