@@ -93,6 +93,21 @@ TINY = CLIPConfig(
     text_layers=2,
 )
 
+# Test-size ModifiedResNet: one bottleneck per stage, width 16
+# (attnpool heads = 16*32//64 = 8, feature dim 512 -> embed 64).
+TINY_RN = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=(1, 1, 1, 1),
+    vision_width=16,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    text_width=64,
+    text_heads=2,
+    text_layers=2,
+)
+
 ARCHS = {
     "ViT-B/16": VIT_B16,
     "ViT-B/32": VIT_B32,
@@ -101,6 +116,7 @@ ARCHS = {
     "RN50x4": RN50x4,
     "RN50x16": RN50x16,
     "TINY": TINY,
+    "TINY_RN": TINY_RN,
 }
 
 

@@ -31,6 +31,10 @@ def _acc(stdout: str) -> float:
         ("CoOp", "configs/trainers/CoOp/vit_b16_ep50_ctxv1.yaml", ["TRAINER.COOP.PREC", "fp32"]),
         ("CoCoOp", "configs/trainers/CoCoOp/vit_b16_c4_ep10_batch1.yaml", ["TRAINER.COCOOP.PREC", "fp32", "DATALOADER.TRAIN_X.BATCH_SIZE", "4"]),
         ("LP", "configs/trainers/LP/vit_b16_c4_ep10_batch1.yaml", ["TRAINER.LP.PREC", "fp32", "DATALOADER.TRAIN_X.BATCH_SIZE", "4"]),
+        # RN-backbone protocol family (reference configs/trainers/CoOp/rn50*.yaml)
+        # on the tiny ModifiedResNet — exercises the resnet visual tower
+        # through the full engine path, not just tower parity.
+        ("CoOp", "configs/trainers/CoOp/rn50_ep50.yaml", ["TRAINER.COOP.PREC", "fp32", "MODEL.BACKBONE.NAME", "TINY_RN"]),
     ],
 )
 def test_trainer_cli_smoke(tmp_path, trainer, config, extra):
@@ -55,3 +59,13 @@ def test_zeroshot_eval_only(tmp_path, trainer):
     )
     _acc(stdout)
     assert "Finish training" not in stdout
+
+
+def test_zeroshot_eval_only_resnet_backbone(tmp_path):
+    out = str(tmp_path / "zs_rn")
+    stdout = run_cli(
+        ["--trainer", "ZeroshotCLIP", "--eval-only", "--output-dir", out]
+        + COMMON
+        + ["MODEL.BACKBONE.NAME", "TINY_RN"]
+    )
+    _acc(stdout)
