@@ -182,6 +182,261 @@ def _torch_forward(model, img_u8, cfg, text_x_orig, labels=None):
     return model(x, torch.from_numpy(labels.astype(np.int64)))
 
 
+def _build_coop_cfg(output_dir, subsample, init_weights=""):
+    from rpo_tpu.engine import get_cfg_default
+
+    cfg = get_cfg_default()
+    cfg.merge_from_file(os.path.join(REPO, "configs/datasets/synthetic.yaml"))
+    cfg.merge_from_file(os.path.join(REPO, "configs/trainers/CoOp/vit_b16.yaml"))
+    cfg.SEED = 1
+    cfg.TRAINER.NAME = "CoOp"
+    cfg.OUTPUT_DIR = output_dir
+    cfg.MODEL.INIT_WEIGHTS = init_weights
+    cfg.TRAINER.COOP.PREC = "fp32"
+    cfg.TRAINER.COOP.CLASS_TOKEN_POSITION = "end"
+    cfg.OPTIM.MAX_EPOCH = MAX_EPOCH
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.DATASET.NUM_SHOTS = 4
+    cfg.DATASET.SUBSAMPLE_CLASSES = subsample
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 10
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TRAIN.PREWARM_COMPILE = False
+    cfg.TEST.FINAL_MODEL = "best_val"
+    return cfg
+
+
+def _ref_coop_cfg():
+    import types
+
+    return types.SimpleNamespace(
+        TRAINER=types.SimpleNamespace(
+            COOP=types.SimpleNamespace(
+                N_CTX=4, CTX_INIT="", CSC=False,
+                CLASS_TOKEN_POSITION="end", PREC="fp32",
+            )
+        ),
+        INPUT=types.SimpleNamespace(SIZE=(224, 224)),
+    )
+
+
+def test_coop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
+    """CoOp through the SAME complete engine cycle as
+    test_full_protocol_parity — N-epoch train with warmup->cosine
+    per-epoch stepping, per-epoch best-val selection, checkpointing,
+    deploy-best final test, base->new reload — against a hand-rolled
+    torch loop over the reference CustomCLIP
+    (/root/reference/trainers/coop.py:185-291: external cross-entropy in
+    forward_backward, scheduler at epoch end, ctx the only trainable).
+    Pins that the engine composition is method-generic, not tuned to
+    RPO's trainer."""
+    clip_model, ckpt_path = oracle_clip
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    monkeypatch.setenv("CLIP_CHECKPOINT", ckpt_path)
+
+    import rpo_tpu.data.datasets  # noqa: F401  (registry)
+    import rpo_tpu.methods  # noqa: F401
+    from rpo_tpu.engine.trainer import _load_checkpoint_file, build_trainer
+
+    ref_coop = load_reference_module(
+        "/root/reference/trainers/coop.py", "_proto_ref_coop"
+    )
+    from rpo_tpu.data.datasets.synthetic import _CLASSNAMES
+
+    n_base = (len(_CLASSNAMES) + 1) // 2
+    base_names = _CLASSNAMES[:n_base]
+    new_names = _CLASSNAMES[n_base:]
+
+    torch.manual_seed(7)
+    model_t = ref_coop.CustomCLIP(_ref_coop_cfg(), base_names, clip_model).float()
+    for p in model_t.parameters():
+        p.requires_grad_(False)
+    pl = model_t.prompt_learner
+    init_ckpt = str(tmp_path / "init_ctx.pkl")
+    with open(init_ckpt, "wb") as f:
+        pickle.dump(
+            {
+                "state_dict": {"ctx": pl.ctx.detach().numpy().copy()},
+                "epoch": 0,
+            },
+            f,
+        )
+
+    # ---- our side: the real engine composition, batches recorded ----
+    train_dir = str(tmp_path / "train_base")
+    cfg = _build_coop_cfg(train_dir, "base", init_weights=init_ckpt)
+    trainer = build_trainer(cfg)
+    assert trainer.dm.classnames == base_names
+
+    train_rec = RecordingLoader(trainer.dm.train_loader_x)
+    val_rec = RecordingLoader(trainer.dm.val_loader)
+    test_rec = RecordingLoader(trainer.dm.test_loader)
+    trainer.dm.train_loader_x = train_rec
+    trainer.dm.val_loader = val_rec
+    trainer.dm.test_loader = test_rec
+
+    our_losses = []
+    orig_fb = trainer.forward_backward
+
+    def recording_fb(batch):
+        summary = orig_fb(batch)
+        our_losses.append(float(summary["loss"]))
+        return summary
+
+    trainer.forward_backward = recording_fb
+
+    eval_logits = []
+    orig_reset = trainer.evaluator.reset
+    orig_process = trainer.evaluator.process
+
+    def recording_reset():
+        eval_logits.append([])
+        orig_reset()
+
+    def recording_process(logits, labels):
+        eval_logits[-1].append((np.array(logits), np.array(labels)))
+        orig_process(logits, labels)
+
+    trainer.evaluator.reset = recording_reset
+    trainer.evaluator.process = recording_process
+
+    trainer.train()
+
+    assert len(train_rec.passes) == MAX_EPOCH
+    assert len(val_rec.passes) == MAX_EPOCH
+    assert len(test_rec.passes) == 1
+    assert len(eval_logits) == MAX_EPOCH + 1
+
+    # ---- torch side: hand-rolled Dassl loop on the recorded batches ----
+    o = cfg.OPTIM
+    pl.ctx.requires_grad_(True)
+    opt = torch.optim.SGD(
+        [pl.ctx],
+        lr=float(o.LR),
+        momentum=float(o.MOMENTUM),
+        weight_decay=float(o.WEIGHT_DECAY),
+        nesterov=bool(o.SGD_NESTEROV),
+    )
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=int(o.MAX_EPOCH)
+    )
+    sched = DasslConstantWarmup(
+        opt, cosine, int(o.WARMUP_EPOCH), float(o.WARMUP_CONS_LR)
+    )
+
+    def torch_eval(model, batches, eval_cfg):
+        model.eval()
+        preds, logits_all = [], []
+        with torch.no_grad():
+            for b in batches:
+                n = b["n"]
+                lg = model(_normalize_torch(b["img"][:n], eval_cfg)).numpy()
+                logits_all.append(lg)
+                preds.append(lg.argmax(-1))
+        return logits_all, np.concatenate(preds)
+
+    from rpo_tpu.engine.optim import lr_at_epoch
+
+    step = 0
+    best_result = -np.inf
+    best_epoch = None
+    best_ctx = None
+    for epoch in range(MAX_EPOCH):
+        np.testing.assert_allclose(
+            opt.param_groups[0]["lr"], lr_at_epoch(o, epoch), rtol=1e-9,
+            err_msg=f"LR diverged at epoch {epoch}",
+        )
+        model_t.train()
+        for b in train_rec.passes[epoch]:
+            assert b["mask"].all(), "unexpected padded train batch"
+            opt.zero_grad()
+            logits_t = model_t(_normalize_torch(b["img"], cfg))
+            loss_t = torch.nn.functional.cross_entropy(
+                logits_t, torch.from_numpy(b["label"].astype(np.int64))
+            )
+            loss_t.backward()
+            opt.step()
+            np.testing.assert_allclose(
+                our_losses[step], float(loss_t.detach()), rtol=2e-3, atol=2e-3,
+                err_msg=f"train loss diverged at step {step}",
+            )
+            step += 1
+        sched.step()
+
+        v_logits, v_preds = torch_eval(model_t, val_rec.passes[epoch], cfg)
+        v_labels = np.concatenate(
+            [b["label"][: b["n"]] for b in val_rec.passes[epoch]]
+        )
+        v_acc = 100.0 * float((v_preds == v_labels).mean())
+        ours = eval_logits[epoch]
+        our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+        np.testing.assert_array_equal(
+            our_preds, v_preds, err_msg=f"val predictions differ at epoch {epoch}"
+        )
+        for (our_lg, _), t_lg in zip(ours, v_logits):
+            np.testing.assert_allclose(our_lg, t_lg, rtol=2e-2, atol=2e-2)
+        if v_acc > best_result:
+            best_result = v_acc
+            best_epoch = epoch
+            best_ctx = pl.ctx.detach().clone()
+
+    final_ctx = pl.ctx.detach().clone()
+
+    best_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", "model-best.pth.tar")
+    )
+    assert best_ckpt["epoch"] == best_epoch + 1
+    final_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", f"model.pth.tar-{MAX_EPOCH}")
+    )
+    np.testing.assert_allclose(
+        final_ckpt["state_dict"]["ctx"], final_ctx.numpy(),
+        rtol=1e-3, atol=1e-4, err_msg="final ctx diverged",
+    )
+    np.testing.assert_allclose(
+        best_ckpt["state_dict"]["ctx"], best_ctx.numpy(),
+        rtol=1e-3, atol=1e-4, err_msg="best ctx diverged",
+    )
+
+    # ---- deploy best -> final test on the base classes ----
+    pl.ctx.data = best_ctx.clone()
+    _, t_preds = torch_eval(model_t, test_rec.passes[0], cfg)
+    ours = eval_logits[MAX_EPOCH]
+    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+    np.testing.assert_array_equal(
+        our_preds, t_preds, err_msg="final base test predictions differ"
+    )
+
+    # ---- base->new: reload the final-epoch ctx on new classes ----
+    new_dir = str(tmp_path / "test_new")
+    cfg_new = _build_coop_cfg(new_dir, "new")
+    trainer_new = build_trainer(cfg_new)
+    assert trainer_new.dm.classnames == new_names
+    new_test_rec = RecordingLoader(trainer_new.dm.test_loader)
+    trainer_new.dm.test_loader = new_test_rec
+    new_logits = []
+    orig_p2 = trainer_new.evaluator.process
+    trainer_new.evaluator.process = lambda lg, lb: (
+        new_logits.append((np.array(lg), np.array(lb))),
+        orig_p2(lg, lb),
+    )[1]
+    trainer_new.load_model(train_dir, epoch=MAX_EPOCH)
+    trainer_new.test()
+
+    torch.manual_seed(13)  # overwritten immediately below
+    model_new = ref_coop.CustomCLIP(
+        _ref_coop_cfg(), new_names, clip_model
+    ).float()
+    model_new.prompt_learner.ctx.data = final_ctx.clone()
+    our_new_preds = np.concatenate([lg.argmax(-1) for lg, _ in new_logits])
+    _, t_new_preds = torch_eval(model_new, new_test_rec.passes[0], cfg_new)
+    np.testing.assert_array_equal(
+        our_new_preds, t_new_preds,
+        err_msg="base->new test predictions differ",
+    )
+
+
 def test_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
     clip_model, ckpt_path = oracle_clip
 
