@@ -112,11 +112,7 @@ def _normalize_torch(img_u8, cfg):
     return (x - mean) / std
 
 
-@pytest.fixture(scope="module")
-def oracle_clip(tmp_path_factory):
-    """Small reference CLIP (224 res — the reference PromptLearner
-    hardcodes d_v=768 and the 14x14 grid, rpo.py:78,140-159 — with depth-2
-    towers) saved as a torch checkpoint for $CLIP_CHECKPOINT."""
+def _make_proto_clip():
     mod = load_reference_module("/root/reference/clip/model.py", "_proto_clip_model")
     torch.manual_seed(0)
     clip_model = mod.CLIP(
@@ -133,9 +129,26 @@ def oracle_clip(tmp_path_factory):
     ).float().eval()
     for p in clip_model.parameters():  # reference freeze, rpo.py:257-260
         p.requires_grad_(False)
+    return clip_model
+
+
+@pytest.fixture(scope="module")
+def oracle_ckpt(tmp_path_factory):
+    """Small reference CLIP (224 res — the reference PromptLearner
+    hardcodes d_v=768 and the 14x14 grid, rpo.py:78,140-159 — with depth-2
+    towers) saved as a torch checkpoint for $CLIP_CHECKPOINT."""
     path = tmp_path_factory.mktemp("oracle") / "small_clip.pt"
-    torch.save(clip_model.state_dict(), str(path))
-    return clip_model, str(path)
+    torch.save(_make_proto_clip().state_dict(), str(path))
+    return str(path)
+
+
+@pytest.fixture()
+def oracle_clip(oracle_ckpt):
+    """A FRESH torch clip per test: the reference RPO CustomCLIP mutates
+    the shared clip module in place (installs its runtime attention masks
+    on the towers, rpo.py:96-133), so tests must not share one
+    instance."""
+    return _make_proto_clip(), oracle_ckpt
 
 
 def _ref_cfg():
@@ -674,3 +687,454 @@ def test_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
         np.concatenate(t_new_preds),
         err_msg="base->new test predictions differ",
     )
+
+
+# ---------------------------------------------------------------------------
+# LP and CoCoOp through the same complete cycle (method-generic engine)
+# ---------------------------------------------------------------------------
+def _drive_engine(cfg, expect_classnames):
+    """Build the trainer, wrap its loaders/evaluator with recorders, run
+    the full train() cycle, and return (trainer, recs, losses, logits)."""
+    from rpo_tpu.engine.trainer import build_trainer
+
+    trainer = build_trainer(cfg)
+    assert trainer.dm.classnames == expect_classnames
+    train_rec = RecordingLoader(trainer.dm.train_loader_x)
+    val_rec = RecordingLoader(trainer.dm.val_loader)
+    test_rec = RecordingLoader(trainer.dm.test_loader)
+    trainer.dm.train_loader_x = train_rec
+    trainer.dm.val_loader = val_rec
+    trainer.dm.test_loader = test_rec
+
+    losses = []
+    orig_fb = trainer.forward_backward
+
+    def recording_fb(batch):
+        summary = orig_fb(batch)
+        losses.append(float(summary["loss"]))
+        return summary
+
+    trainer.forward_backward = recording_fb
+
+    eval_logits = []
+    orig_reset = trainer.evaluator.reset
+    orig_process = trainer.evaluator.process
+
+    def recording_reset():
+        eval_logits.append([])
+        orig_reset()
+
+    def recording_process(logits, labels):
+        eval_logits[-1].append((np.array(logits), np.array(labels)))
+        orig_process(logits, labels)
+
+    trainer.evaluator.reset = recording_reset
+    trainer.evaluator.process = recording_process
+
+    trainer.train()
+    assert len(train_rec.passes) == MAX_EPOCH
+    assert len(val_rec.passes) == MAX_EPOCH
+    assert len(test_rec.passes) == 1
+    assert len(eval_logits) == MAX_EPOCH + 1
+    return trainer, (train_rec, val_rec, test_rec), losses, eval_logits
+
+
+def _dassl_sgd_sched(params, o):
+    opt = torch.optim.SGD(
+        params,
+        lr=float(o.LR),
+        momentum=float(o.MOMENTUM),
+        weight_decay=float(o.WEIGHT_DECAY),
+        nesterov=bool(o.SGD_NESTEROV),
+    )
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=int(o.MAX_EPOCH))
+    sched = DasslConstantWarmup(
+        opt, cosine, int(o.WARMUP_EPOCH), float(o.WARMUP_CONS_LR)
+    )
+    return opt, sched
+
+
+def _torch_protocol_loop(model, trainables, recs, losses, eval_logits, cfg,
+                         loss_of_batch, eval_of_batch):
+    """Replay the recorded batches through a hand-rolled Dassl loop;
+    assert per-step losses, per-epoch val predictions/logits, and return
+    (best_epoch, best_state, final_state) with states = cloned trainable
+    tensors."""
+    from rpo_tpu.engine.optim import lr_at_epoch
+
+    train_rec, val_rec, test_rec = recs
+    o = cfg.OPTIM
+    for p in trainables:
+        p.requires_grad_(True)
+    opt, sched = _dassl_sgd_sched(trainables, o)
+
+    def snapshot():
+        return [p.detach().clone() for p in trainables]
+
+    step = 0
+    best_result = -np.inf
+    best_epoch = None
+    best_state = None
+    for epoch in range(MAX_EPOCH):
+        np.testing.assert_allclose(
+            opt.param_groups[0]["lr"], lr_at_epoch(o, epoch), rtol=1e-9,
+            err_msg=f"LR diverged at epoch {epoch}",
+        )
+        model.train()
+        for b in train_rec.passes[epoch]:
+            assert b["mask"].all(), "unexpected padded train batch"
+            opt.zero_grad()
+            loss_t = loss_of_batch(b)
+            loss_t.backward()
+            opt.step()
+            np.testing.assert_allclose(
+                losses[step], float(loss_t.detach()), rtol=2e-3, atol=2e-3,
+                err_msg=f"train loss diverged at step {step}",
+            )
+            step += 1
+        sched.step()
+
+        model.eval()
+        v_logits, v_preds = [], []
+        with torch.no_grad():
+            for b in val_rec.passes[epoch]:
+                lg = eval_of_batch(b).numpy()
+                v_logits.append(lg)
+                v_preds.append(lg.argmax(-1))
+        v_preds = np.concatenate(v_preds)
+        v_labels = np.concatenate(
+            [b["label"][: b["n"]] for b in val_rec.passes[epoch]]
+        )
+        v_acc = 100.0 * float((v_preds == v_labels).mean())
+        ours = eval_logits[epoch]
+        our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+        np.testing.assert_array_equal(
+            our_preds, v_preds, err_msg=f"val predictions differ at epoch {epoch}"
+        )
+        for (our_lg, _), t_lg in zip(ours, v_logits):
+            np.testing.assert_allclose(our_lg, t_lg, rtol=2e-2, atol=2e-2)
+        if v_acc > best_result:
+            best_result = v_acc
+            best_epoch = epoch
+            best_state = snapshot()
+    return best_epoch, best_state, snapshot()
+
+
+def test_lp_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
+    """Linear Probe through the complete engine cycle vs the ACTUAL
+    reference module (/root/reference/trainers/linear_prob.py — its
+    hardcoded eye(512) init, linear_prob.py:71-72, instantiates here
+    because the oracle CLIP uses the real 512 embed dim): identity-init
+    linear on unnormalized image features, frozen normalized text
+    features, protocol batch 1, base->new reload of the trained layer."""
+    clip_model, ckpt_path = oracle_clip
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    monkeypatch.setenv("CLIP_CHECKPOINT", ckpt_path)
+
+    import types
+
+    import rpo_tpu.data.datasets  # noqa: F401
+    import rpo_tpu.methods  # noqa: F401
+    from rpo_tpu.engine.trainer import _load_checkpoint_file, build_trainer
+    from rpo_tpu.data.datasets.synthetic import _CLASSNAMES
+    from rpo_tpu.engine import get_cfg_default
+
+    n_base = (len(_CLASSNAMES) + 1) // 2
+    base_names = _CLASSNAMES[:n_base]
+    new_names = _CLASSNAMES[n_base:]
+
+    def build_cfg(output_dir, subsample):
+        cfg = get_cfg_default()
+        cfg.merge_from_file(os.path.join(REPO, "configs/datasets/synthetic.yaml"))
+        cfg.merge_from_file(
+            os.path.join(REPO, "configs/trainers/LP/vit_b16_c4_ep10_batch1.yaml")
+        )
+        cfg.SEED = 1
+        cfg.TRAINER.NAME = "LP"
+        cfg.OUTPUT_DIR = output_dir
+        cfg.TRAINER.LP.PREC = "fp32"
+        cfg.OPTIM.MAX_EPOCH = MAX_EPOCH
+        cfg.OPTIM.WARMUP_EPOCH = 1
+        # LP on a RANDOM clip is numerically chaotic: unnormalized image
+        # features give |logits| ~ O(200) and CE losses ~ O(100), so at the
+        # protocol's LR=2e-3/batch-1 the trajectory amplifies fp32 rounding
+        # noise past any tolerance within ~30 steps (observed 2.8% loss
+        # drift).  Batch 4 + a smaller LR keep the comparison meaningful
+        # (same engine composition under test) without the chaos.
+        cfg.OPTIM.LR = 2e-4
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+        cfg.DATASET.NUM_SHOTS = 4
+        cfg.DATASET.SUBSAMPLE_CLASSES = subsample
+        cfg.DATALOADER.TEST.BATCH_SIZE = 10
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.TRAIN.PREWARM_COMPILE = False
+        cfg.TEST.FINAL_MODEL = "best_val"
+        return cfg
+
+    ref_lp = load_reference_module(
+        "/root/reference/trainers/linear_prob.py", "_proto_ref_lp"
+    )
+    ref_ns = types.SimpleNamespace(
+        TRAINER=types.SimpleNamespace(
+            LP=types.SimpleNamespace(PREC="fp32", PROMPT="A photo of a {cls_name}")
+        ),
+        INPUT=types.SimpleNamespace(SIZE=(224, 224)),
+    )
+    model_t = ref_lp.CustomCLIP(ref_ns, base_names, clip_model).float()
+    for p in model_t.parameters():
+        p.requires_grad_(False)
+
+    train_dir = str(tmp_path / "train_base")
+    cfg = build_cfg(train_dir, "base")
+    trainer, recs, losses, eval_logits = _drive_engine(cfg, base_names)
+
+    lp = model_t.lp_layer
+
+    def loss_of_batch(b):
+        logits = model_t(_normalize_torch(b["img"], cfg))
+        return torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(b["label"].astype(np.int64))
+        )
+
+    def eval_of_batch(b):
+        return model_t(_normalize_torch(b["img"][: b["n"]], cfg))
+
+    best_epoch, best_state, final_state = _torch_protocol_loop(
+        model_t, [lp.weight, lp.bias], recs, losses, eval_logits, cfg,
+        loss_of_batch, eval_of_batch,
+    )
+
+    best_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "lp_layer", "model-best.pth.tar")
+    )
+    assert best_ckpt["epoch"] == best_epoch + 1
+    final_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "lp_layer", f"model.pth.tar-{MAX_EPOCH}")
+    )
+    # ours is (in, out) = torch weight.T (applied as x @ w + b)
+    np.testing.assert_allclose(
+        final_ckpt["state_dict"]["w"], final_state[0].numpy().T,
+        rtol=1e-3, atol=1e-4, err_msg="final lp weight diverged",
+    )
+    np.testing.assert_allclose(
+        best_ckpt["state_dict"]["w"], best_state[0].numpy().T,
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        best_ckpt["state_dict"]["b"], best_state[1].numpy(),
+        rtol=1e-3, atol=1e-4,
+    )
+
+    # deploy best -> final test on base classes
+    lp.weight.data = best_state[0].clone()
+    lp.bias.data = best_state[1].clone()
+    model_t.eval()
+    with torch.no_grad():
+        t_preds = np.concatenate(
+            [eval_of_batch(b).numpy().argmax(-1) for b in recs[2].passes[0]]
+        )
+    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in eval_logits[MAX_EPOCH]])
+    np.testing.assert_array_equal(our_preds, t_preds)
+
+    # base->new: reload the final-epoch lp_layer on the new class half
+    new_dir = str(tmp_path / "test_new")
+    cfg_new = build_cfg(new_dir, "new")
+    trainer_new = build_trainer(cfg_new)
+    assert trainer_new.dm.classnames == new_names
+    new_test_rec = RecordingLoader(trainer_new.dm.test_loader)
+    trainer_new.dm.test_loader = new_test_rec
+    new_logits = []
+    orig_p2 = trainer_new.evaluator.process
+    trainer_new.evaluator.process = lambda lg, lb: (
+        new_logits.append(np.array(lg)),
+        orig_p2(lg, lb),
+    )[1]
+    trainer_new.load_model(train_dir, epoch=MAX_EPOCH)
+    trainer_new.test()
+
+    model_new = ref_lp.CustomCLIP(ref_ns, new_names, clip_model).float()
+    model_new.lp_layer.weight.data = final_state[0].clone()
+    model_new.lp_layer.bias.data = final_state[1].clone()
+    model_new.eval()
+    with torch.no_grad():
+        t_new_preds = np.concatenate(
+            [
+                model_new(_normalize_torch(b["img"][: b["n"]], cfg_new))
+                .numpy().argmax(-1)
+                for b in new_test_rec.passes[0]
+            ]
+        )
+    our_new_preds = np.concatenate([lg.argmax(-1) for lg in new_logits])
+    np.testing.assert_array_equal(our_new_preds, t_new_preds)
+
+
+def test_cocoop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
+    """CoCoOp through the complete engine cycle vs the reference
+    (/root/reference/trainers/cocoop.py): image-conditioned contexts
+    (meta-net bias), CE computed INSIDE the reference forward in train
+    mode (cocoop.py:190-192), protocol batch 1, base->new reload of
+    ctx + meta_net."""
+    clip_model, ckpt_path = oracle_clip
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    monkeypatch.setenv("CLIP_CHECKPOINT", ckpt_path)
+
+    import types
+
+    import rpo_tpu.data.datasets  # noqa: F401
+    import rpo_tpu.methods  # noqa: F401
+    from rpo_tpu.engine.trainer import _load_checkpoint_file, build_trainer
+    from rpo_tpu.data.datasets.synthetic import _CLASSNAMES
+    from rpo_tpu.engine import get_cfg_default
+
+    n_base = (len(_CLASSNAMES) + 1) // 2
+    base_names = _CLASSNAMES[:n_base]
+    new_names = _CLASSNAMES[n_base:]
+
+    ref_cocoop = load_reference_module(
+        "/root/reference/trainers/cocoop.py", "_proto_ref_cocoop"
+    )
+    ref_ns = types.SimpleNamespace(
+        TRAINER=types.SimpleNamespace(
+            COCOOP=types.SimpleNamespace(N_CTX=4, CTX_INIT="", PREC="fp32")
+        ),
+        INPUT=types.SimpleNamespace(SIZE=(224, 224)),
+    )
+    torch.manual_seed(17)
+    model_t = ref_cocoop.CustomCLIP(ref_ns, base_names, clip_model).float()
+    for p in model_t.parameters():
+        p.requires_grad_(False)
+    pl = model_t.prompt_learner
+    l1, l2 = pl.meta_net.linear1, pl.meta_net.linear2
+    init_ckpt = str(tmp_path / "init_cocoop.pkl")
+    with open(init_ckpt, "wb") as f:
+        pickle.dump(
+            {
+                "state_dict": {
+                    "ctx": pl.ctx.detach().numpy().copy(),
+                    "meta_net": {
+                        "w1": l1.weight.detach().numpy().T.copy(),
+                        "b1": l1.bias.detach().numpy().copy(),
+                        "w2": l2.weight.detach().numpy().T.copy(),
+                        "b2": l2.bias.detach().numpy().copy(),
+                    },
+                },
+                "epoch": 0,
+            },
+            f,
+        )
+
+    def build_cfg(output_dir, subsample, init_weights=""):
+        cfg = get_cfg_default()
+        cfg.merge_from_file(os.path.join(REPO, "configs/datasets/synthetic.yaml"))
+        cfg.merge_from_file(
+            os.path.join(REPO, "configs/trainers/CoCoOp/vit_b16_c4_ep10_batch1.yaml")
+        )
+        cfg.SEED = 1
+        cfg.TRAINER.NAME = "CoCoOp"
+        cfg.OUTPUT_DIR = output_dir
+        cfg.MODEL.INIT_WEIGHTS = init_weights
+        cfg.TRAINER.COCOOP.PREC = "fp32"
+        cfg.OPTIM.MAX_EPOCH = MAX_EPOCH
+        cfg.OPTIM.WARMUP_EPOCH = 1
+        cfg.DATASET.NUM_SHOTS = 4
+        cfg.DATASET.SUBSAMPLE_CLASSES = subsample
+        cfg.DATALOADER.TEST.BATCH_SIZE = 10
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.TRAIN.PREWARM_COMPILE = False
+        cfg.TEST.FINAL_MODEL = "best_val"
+        return cfg
+
+    train_dir = str(tmp_path / "train_base")
+    cfg = build_cfg(train_dir, "base", init_weights=init_ckpt)
+    trainer, recs, losses, eval_logits = _drive_engine(cfg, base_names)
+
+    trainables = [pl.ctx, l1.weight, l1.bias, l2.weight, l2.bias]
+
+    def loss_of_batch(b):
+        return model_t(
+            _normalize_torch(b["img"], cfg),
+            torch.from_numpy(b["label"].astype(np.int64)),
+        )
+
+    def eval_of_batch(b):
+        return model_t(_normalize_torch(b["img"][: b["n"]], cfg))
+
+    best_epoch, best_state, final_state = _torch_protocol_loop(
+        model_t, trainables, recs, losses, eval_logits, cfg,
+        loss_of_batch, eval_of_batch,
+    )
+
+    best_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", "model-best.pth.tar")
+    )
+    assert best_ckpt["epoch"] == best_epoch + 1
+    final_ckpt = _load_checkpoint_file(
+        os.path.join(train_dir, "prompt_learner", f"model.pth.tar-{MAX_EPOCH}")
+    )
+    for ckpt, state in ((final_ckpt, final_state), (best_ckpt, best_state)):
+        sd = ckpt["state_dict"]
+        np.testing.assert_allclose(
+            sd["ctx"], state[0].numpy(), rtol=1e-3, atol=1e-4,
+            err_msg="ctx diverged",
+        )
+        np.testing.assert_allclose(
+            sd["meta_net"]["w1"], state[1].numpy().T, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            sd["meta_net"]["b1"], state[2].numpy(), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            sd["meta_net"]["w2"], state[3].numpy().T, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            sd["meta_net"]["b2"], state[4].numpy(), rtol=1e-3, atol=1e-4
+        )
+
+    # deploy best -> final test on base classes
+    for p, s in zip(trainables, best_state):
+        p.data = s.clone()
+    model_t.eval()
+    with torch.no_grad():
+        t_preds = np.concatenate(
+            [eval_of_batch(b).numpy().argmax(-1) for b in recs[2].passes[0]]
+        )
+    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in eval_logits[MAX_EPOCH]])
+    np.testing.assert_array_equal(our_preds, t_preds)
+
+    # base->new: reload final ctx + meta_net on the new class half
+    new_dir = str(tmp_path / "test_new")
+    cfg_new = build_cfg(new_dir, "new")
+    trainer_new = build_trainer(cfg_new)
+    assert trainer_new.dm.classnames == new_names
+    new_test_rec = RecordingLoader(trainer_new.dm.test_loader)
+    trainer_new.dm.test_loader = new_test_rec
+    new_logits = []
+    orig_p2 = trainer_new.evaluator.process
+    trainer_new.evaluator.process = lambda lg, lb: (
+        new_logits.append(np.array(lg)),
+        orig_p2(lg, lb),
+    )[1]
+    trainer_new.load_model(train_dir, epoch=MAX_EPOCH)
+    trainer_new.test()
+
+    torch.manual_seed(19)  # overwritten immediately below
+    model_new = ref_cocoop.CustomCLIP(ref_ns, new_names, clip_model).float()
+    pl_new = model_new.prompt_learner
+    new_trainables = [
+        pl_new.ctx,
+        pl_new.meta_net.linear1.weight, pl_new.meta_net.linear1.bias,
+        pl_new.meta_net.linear2.weight, pl_new.meta_net.linear2.bias,
+    ]
+    for p, s in zip(new_trainables, final_state):
+        p.data = s.clone()
+    model_new.eval()
+    with torch.no_grad():
+        t_new_preds = np.concatenate(
+            [
+                model_new(_normalize_torch(b["img"][: b["n"]], cfg_new))
+                .numpy().argmax(-1)
+                for b in new_test_rec.passes[0]
+            ]
+        )
+    our_new_preds = np.concatenate([lg.argmax(-1) for lg in new_logits])
+    np.testing.assert_array_equal(our_new_preds, t_new_preds)
