@@ -25,6 +25,15 @@ class RPO(CLIPMethodTrainer):
 
     def build_method(self) -> None:
         cfg = self.cfg
+        if not self.clip_cfg.is_vit:
+            # the reference RPO hardcodes the ViT patch grid and d_v=768
+            # (rpo.py:78,140-159); ResNet visual towers have no prompt
+            # insertion points in its formulation
+            raise ValueError(
+                f"RPO requires a ViT backbone, got {cfg.MODEL.BACKBONE.NAME} "
+                "(ModifiedResNet). Use CoOp/CoCoOp/LP/ZeroshotCLIP for RN "
+                "backbones."
+            )
         seed = max(int(cfg.SEED), 0)
         K = int(cfg.TRAINER.RPO.K)
         self.task = core.make_task(

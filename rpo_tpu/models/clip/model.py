@@ -100,7 +100,7 @@ TINY_RN = CLIPConfig(
     image_resolution=32,
     vision_layers=(1, 1, 1, 1),
     vision_width=16,
-    vision_patch_size=16,
+    vision_patch_size=0,  # like the real RN configs: ViT-only paths must fail loudly
     context_length=77,
     vocab_size=49408,
     text_width=64,

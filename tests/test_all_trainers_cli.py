@@ -69,3 +69,24 @@ def test_zeroshot_eval_only_resnet_backbone(tmp_path):
         + ["MODEL.BACKBONE.NAME", "TINY_RN"]
     )
     _acc(stdout)
+
+
+def test_rpo_rejects_resnet_backbone(tmp_path):
+    """RPO is ViT-only (the reference hardcodes the patch grid and d_v,
+    rpo.py:78,140-159); an RN backbone must fail with a clear error, not
+    a ZeroDivisionError from grid_size (TINY_RN has vision_patch_size=0
+    like the real RN configs)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["RPO_TPU_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--trainer", "RPO",
+         "--output-dir", str(tmp_path / "rpo_rn")]
+        + COMMON[:-4]  # drop the batch-size overrides, keep dataset/backbone
+        + ["MODEL.BACKBONE.NAME", "TINY_RN"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0
+    assert "RPO requires a ViT backbone" in (proc.stderr + proc.stdout)

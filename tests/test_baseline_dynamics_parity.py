@@ -18,8 +18,6 @@ schedule, identical data, our jitted step vs the torch reference —
 A divergence anywhere in loss, grads, optimizer, or schedule composition
 shows up in the parameter trajectory.
 """
-import types
-
 import numpy as np
 import pytest
 
@@ -205,6 +203,16 @@ def test_cocoop_trajectory_matches_reference(small_clip):
     np.testing.assert_allclose(
         np.asarray(jparams["meta_net"]["w2"]),
         pl.meta_net.linear2.weight.detach().numpy().T,
+        rtol=5e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jparams["meta_net"]["b1"]),
+        pl.meta_net.linear1.bias.detach().numpy(),
+        rtol=5e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jparams["meta_net"]["b2"]),
+        pl.meta_net.linear2.bias.detach().numpy(),
         rtol=5e-3, atol=5e-4,
     )
 

@@ -276,125 +276,23 @@ def test_coop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
             f,
         )
 
-    # ---- our side: the real engine composition, batches recorded ----
     train_dir = str(tmp_path / "train_base")
     cfg = _build_coop_cfg(train_dir, "base", init_weights=init_ckpt)
-    trainer = build_trainer(cfg)
-    assert trainer.dm.classnames == base_names
+    trainer, recs, losses, eval_logits = _drive_engine(cfg, base_names)
 
-    train_rec = RecordingLoader(trainer.dm.train_loader_x)
-    val_rec = RecordingLoader(trainer.dm.val_loader)
-    test_rec = RecordingLoader(trainer.dm.test_loader)
-    trainer.dm.train_loader_x = train_rec
-    trainer.dm.val_loader = val_rec
-    trainer.dm.test_loader = test_rec
-
-    our_losses = []
-    orig_fb = trainer.forward_backward
-
-    def recording_fb(batch):
-        summary = orig_fb(batch)
-        our_losses.append(float(summary["loss"]))
-        return summary
-
-    trainer.forward_backward = recording_fb
-
-    eval_logits = []
-    orig_reset = trainer.evaluator.reset
-    orig_process = trainer.evaluator.process
-
-    def recording_reset():
-        eval_logits.append([])
-        orig_reset()
-
-    def recording_process(logits, labels):
-        eval_logits[-1].append((np.array(logits), np.array(labels)))
-        orig_process(logits, labels)
-
-    trainer.evaluator.reset = recording_reset
-    trainer.evaluator.process = recording_process
-
-    trainer.train()
-
-    assert len(train_rec.passes) == MAX_EPOCH
-    assert len(val_rec.passes) == MAX_EPOCH
-    assert len(test_rec.passes) == 1
-    assert len(eval_logits) == MAX_EPOCH + 1
-
-    # ---- torch side: hand-rolled Dassl loop on the recorded batches ----
-    o = cfg.OPTIM
-    pl.ctx.requires_grad_(True)
-    opt = torch.optim.SGD(
-        [pl.ctx],
-        lr=float(o.LR),
-        momentum=float(o.MOMENTUM),
-        weight_decay=float(o.WEIGHT_DECAY),
-        nesterov=bool(o.SGD_NESTEROV),
-    )
-    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(
-        opt, T_max=int(o.MAX_EPOCH)
-    )
-    sched = DasslConstantWarmup(
-        opt, cosine, int(o.WARMUP_EPOCH), float(o.WARMUP_CONS_LR)
-    )
-
-    def torch_eval(model, batches, eval_cfg):
-        model.eval()
-        preds, logits_all = [], []
-        with torch.no_grad():
-            for b in batches:
-                n = b["n"]
-                lg = model(_normalize_torch(b["img"][:n], eval_cfg)).numpy()
-                logits_all.append(lg)
-                preds.append(lg.argmax(-1))
-        return logits_all, np.concatenate(preds)
-
-    from rpo_tpu.engine.optim import lr_at_epoch
-
-    step = 0
-    best_result = -np.inf
-    best_epoch = None
-    best_ctx = None
-    for epoch in range(MAX_EPOCH):
-        np.testing.assert_allclose(
-            opt.param_groups[0]["lr"], lr_at_epoch(o, epoch), rtol=1e-9,
-            err_msg=f"LR diverged at epoch {epoch}",
+    def loss_of_batch(b):
+        logits = model_t(_normalize_torch(b["img"], cfg))
+        return torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(b["label"].astype(np.int64))
         )
-        model_t.train()
-        for b in train_rec.passes[epoch]:
-            assert b["mask"].all(), "unexpected padded train batch"
-            opt.zero_grad()
-            logits_t = model_t(_normalize_torch(b["img"], cfg))
-            loss_t = torch.nn.functional.cross_entropy(
-                logits_t, torch.from_numpy(b["label"].astype(np.int64))
-            )
-            loss_t.backward()
-            opt.step()
-            np.testing.assert_allclose(
-                our_losses[step], float(loss_t.detach()), rtol=2e-3, atol=2e-3,
-                err_msg=f"train loss diverged at step {step}",
-            )
-            step += 1
-        sched.step()
 
-        v_logits, v_preds = torch_eval(model_t, val_rec.passes[epoch], cfg)
-        v_labels = np.concatenate(
-            [b["label"][: b["n"]] for b in val_rec.passes[epoch]]
-        )
-        v_acc = 100.0 * float((v_preds == v_labels).mean())
-        ours = eval_logits[epoch]
-        our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
-        np.testing.assert_array_equal(
-            our_preds, v_preds, err_msg=f"val predictions differ at epoch {epoch}"
-        )
-        for (our_lg, _), t_lg in zip(ours, v_logits):
-            np.testing.assert_allclose(our_lg, t_lg, rtol=2e-2, atol=2e-2)
-        if v_acc > best_result:
-            best_result = v_acc
-            best_epoch = epoch
-            best_ctx = pl.ctx.detach().clone()
+    def eval_of_batch(b):
+        return model_t(_normalize_torch(b["img"][: b["n"]], cfg))
 
-    final_ctx = pl.ctx.detach().clone()
+    best_epoch, best_state, final_state = _torch_protocol_loop(
+        model_t, [pl.ctx], recs, losses, eval_logits, cfg,
+        loss_of_batch, eval_of_batch,
+    )
 
     best_ckpt = _load_checkpoint_file(
         os.path.join(train_dir, "prompt_learner", "model-best.pth.tar")
@@ -404,19 +302,22 @@ def test_coop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
         os.path.join(train_dir, "prompt_learner", f"model.pth.tar-{MAX_EPOCH}")
     )
     np.testing.assert_allclose(
-        final_ckpt["state_dict"]["ctx"], final_ctx.numpy(),
+        final_ckpt["state_dict"]["ctx"], final_state[0].numpy(),
         rtol=1e-3, atol=1e-4, err_msg="final ctx diverged",
     )
     np.testing.assert_allclose(
-        best_ckpt["state_dict"]["ctx"], best_ctx.numpy(),
+        best_ckpt["state_dict"]["ctx"], best_state[0].numpy(),
         rtol=1e-3, atol=1e-4, err_msg="best ctx diverged",
     )
 
     # ---- deploy best -> final test on the base classes ----
-    pl.ctx.data = best_ctx.clone()
-    _, t_preds = torch_eval(model_t, test_rec.passes[0], cfg)
-    ours = eval_logits[MAX_EPOCH]
-    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in ours])
+    pl.ctx.data = best_state[0].clone()
+    model_t.eval()
+    with torch.no_grad():
+        t_preds = np.concatenate(
+            [eval_of_batch(b).numpy().argmax(-1) for b in recs[2].passes[0]]
+        )
+    our_preds = np.concatenate([lg.argmax(-1) for lg, _ in eval_logits[MAX_EPOCH]])
     np.testing.assert_array_equal(
         our_preds, t_preds, err_msg="final base test predictions differ"
     )
@@ -431,7 +332,7 @@ def test_coop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
     new_logits = []
     orig_p2 = trainer_new.evaluator.process
     trainer_new.evaluator.process = lambda lg, lb: (
-        new_logits.append((np.array(lg), np.array(lb))),
+        new_logits.append(np.array(lg)),
         orig_p2(lg, lb),
     )[1]
     trainer_new.load_model(train_dir, epoch=MAX_EPOCH)
@@ -441,13 +342,22 @@ def test_coop_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
     model_new = ref_coop.CustomCLIP(
         _ref_coop_cfg(), new_names, clip_model
     ).float()
-    model_new.prompt_learner.ctx.data = final_ctx.clone()
-    our_new_preds = np.concatenate([lg.argmax(-1) for lg, _ in new_logits])
-    _, t_new_preds = torch_eval(model_new, new_test_rec.passes[0], cfg_new)
+    model_new.prompt_learner.ctx.data = final_state[0].clone()
+    model_new.eval()
+    with torch.no_grad():
+        t_new_preds = np.concatenate(
+            [
+                model_new(_normalize_torch(b["img"][: b["n"]], cfg_new))
+                .numpy().argmax(-1)
+                for b in new_test_rec.passes[0]
+            ]
+        )
+    our_new_preds = np.concatenate([lg.argmax(-1) for lg in new_logits])
     np.testing.assert_array_equal(
         our_new_preds, t_new_preds,
         err_msg="base->new test predictions differ",
     )
+
 
 
 def test_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
@@ -826,7 +736,9 @@ def test_lp_full_protocol_parity(oracle_clip, tmp_path, monkeypatch):
     hardcoded eye(512) init, linear_prob.py:71-72, instantiates here
     because the oracle CLIP uses the real 512 embed dim): identity-init
     linear on unnormalized image features, frozen normalized text
-    features, protocol batch 1, base->new reload of the trained layer."""
+    features, base->new reload of the trained layer.  Runs batch 4 with
+    a reduced LR (NOT the protocol's batch-1/LR-2e-3 — see the chaos
+    note in build_cfg); the composition under test is unchanged."""
     clip_model, ckpt_path = oracle_clip
     monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
     monkeypatch.setenv("CLIP_CHECKPOINT", ckpt_path)
