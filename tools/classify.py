@@ -93,7 +93,7 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    import train as cli
+    import rpo_tpu.cli as cli
 
     import tempfile
 
