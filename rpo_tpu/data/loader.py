@@ -247,6 +247,19 @@ class BatchLoader:
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # An abandoned epoch's producer may still be inside an in-flight
+        # _make_batch (it only notices abandonment between batches); its
+        # remaining global-`random` draws (shuffle, make_plan) would
+        # interleave with this epoch's and break seeded determinism — wait
+        # it out before drawing anything.
+        prev = getattr(self, "_producer", None)
+        if prev is not None and prev.is_alive():
+            # mark the old epoch abandoned first: a consumer that merely
+            # dropped its iterator (no close/GC yet) never set the event,
+            # and joining an un-abandoned producer parked on a full queue
+            # would deadlock
+            self._producer_abandoned.set()
+            prev.join()
         order = self._order()
         chunks = [
             [self.items[j] for j in order[i : i + self.batch_size]]
@@ -284,6 +297,8 @@ class BatchLoader:
                 put(exc)
 
         t = threading.Thread(target=producer, daemon=True, name="batch-producer")
+        self._producer = t
+        self._producer_abandoned = abandoned
         t.start()
         try:
             while True:

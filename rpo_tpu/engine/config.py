@@ -73,6 +73,10 @@ class CfgNode(dict):
 
     def merge_from_list(self, kv_list: List[str]) -> None:
         """Dotted KEY VALUE pairs, e.g. ["DATASET.NUM_SHOTS", "16"]."""
+        if self.is_frozen():
+            # same contract as _merge_dict / yacs: mutating a frozen cfg
+            # must fail at the mutation site, not corrupt derived state
+            raise AttributeError("Attempted to merge into a frozen CfgNode")
         if not kv_list:
             return
         assert len(kv_list) % 2 == 0, f"Override list has odd length: {kv_list}"

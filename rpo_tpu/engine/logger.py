@@ -35,7 +35,9 @@ def setup_logger(output_dir: str) -> None:
     os.makedirs(output_dir, exist_ok=True)
     fpath = os.path.join(output_dir, "log.txt")
     if os.path.exists(fpath):
-        # preserve old logs like Dassl does
-        ts = time.strftime("-%Y-%m-%d-%H-%M-%S")
-        os.rename(fpath, fpath + ts)
+        # Dassl setup_logger: the EXISTING log.txt is never overwritten —
+        # the new run writes to log.txt-<timestamp>.  Downstream contract:
+        # parse_test_res reads exactly log.txt, so the first run's results
+        # win for an output dir that is reused (reference semantics).
+        fpath += time.strftime("-%Y-%m-%d-%H-%M-%S")
     sys.stdout = _Tee(sys.__stdout__, fpath)

@@ -25,10 +25,17 @@ import jax.numpy as jnp
 
 class SGDState(NamedTuple):
     momentum: Any  # pytree like params
+    # update count, needed for torch-exact dampening (torch skips the
+    # (1-dampening) factor on the very first buffer write); legacy
+    # single-field states unpickle with the default and behave as fresh
+    step: Any = 0
 
 
 def sgd_init(params) -> SGDState:
-    return SGDState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+    return SGDState(
+        momentum=jax.tree_util.tree_map(jnp.zeros_like, params),
+        step=jnp.zeros((), jnp.int32),
+    )
 
 
 def sgd_update(
@@ -39,13 +46,26 @@ def sgd_update(
     momentum: float = 0.9,
     weight_decay: float = 5e-4,
     nesterov: bool = False,
+    dampening: float = 0.0,
 ) -> Tuple[Any, SGDState]:
     tm = jax.tree_util.tree_map
     g_wd = tm(lambda g, p: g + weight_decay * p, grads, params)
-    new_buf = tm(lambda b, g: momentum * b + g, state.momentum, g_wd)
+    if dampening:
+        # torch SGD: the FIRST buffer write is buf = g (no dampening);
+        # afterwards buf = momentum*buf + (1-dampening)*g.  torch forbids
+        # nesterov with dampening (same check in the caller's config).
+        first = jnp.asarray(state.step) == 0
+        new_buf = tm(
+            lambda b, g: jnp.where(first, g, momentum * b + (1.0 - dampening) * g),
+            state.momentum, g_wd,
+        )
+    else:
+        new_buf = tm(lambda b, g: momentum * b + g, state.momentum, g_wd)
     step = tm(lambda b, g: momentum * b + g, new_buf, g_wd) if nesterov else new_buf
     new_params = tm(lambda p, s: p - lr * s, params, step)
-    return new_params, SGDState(momentum=new_buf)
+    return new_params, SGDState(
+        momentum=new_buf, step=jnp.asarray(state.step) + 1
+    )
 
 
 def lr_at_epoch(cfg_optim, epoch: int) -> float:
@@ -76,7 +96,10 @@ def lr_at_epoch(cfg_optim, epoch: int) -> float:
                     return float(cfg_optim.WARMUP_MIN_LR)
                 return lr * epoch / warmup
             raise ValueError(f"Unknown WARMUP_TYPE {cfg_optim.WARMUP_TYPE}")
-        epoch = epoch - warmup  # successor schedule recounts from 0
+        if getattr(cfg_optim, "WARMUP_RECOUNT", True):
+            epoch = epoch - warmup  # successor schedule recounts from 0
+        # WARMUP_RECOUNT=False: the successor runs on the absolute epoch
+        # index (warmup epochs count toward the main schedule)
 
     sched = cfg_optim.LR_SCHEDULER
     if sched == "cosine":

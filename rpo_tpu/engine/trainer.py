@@ -274,7 +274,11 @@ class TrainerBase:
 
     # -- lifecycle ----------------------------------------------------------
     def before_train(self) -> None:
-        self.start_epoch = self.resume_model_if_exist(self.cfg.RESUME)
+        # Dassl before_train: resume from cfg.RESUME if given, else fall
+        # back to OUTPUT_DIR — relaunching a crashed job with the same
+        # command picks up its own checkpoints instead of retraining
+        resume_dir = self.cfg.RESUME or self.cfg.OUTPUT_DIR
+        self.start_epoch = self.resume_model_if_exist(resume_dir)
         self.time_start = time.time()
         self.current_lr = lr_at_epoch(self.cfg.OPTIM, self.start_epoch)
         if bool(self.cfg.TRAIN.DEBUG_NANS):
@@ -375,7 +379,19 @@ class TrainerBase:
                 group.append(batch)
                 if len(group) == group_size:
                     flush()
-            flush()
+            # trailing partial group: run it through the per-batch step
+            # instead of dispatching a second grouped program — a
+            # (remainder, B, ...) lax.scan would be a fresh multi-minute
+            # XLA compile of the grouped program for every distinct
+            # remainder size, while the single-step program is the cheap
+            # one and is shared with prewarm/non-grouped runs
+            for batch in group:
+                self.batch_idx += 1
+                data_t.append(time.time() - t0)
+                summary = self.forward_backward(batch)
+                handle(summary)
+                t0 = time.time()
+            group = []
         else:
             for self.batch_idx, batch in enumerate(device_prefetch(loader)):
                 data_t.append(time.time() - t0)

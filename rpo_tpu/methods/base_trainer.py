@@ -115,6 +115,10 @@ class CLIPMethodTrainer(TrainerBase):
         self._momentum = float(cfg.OPTIM.MOMENTUM)
         self._weight_decay = float(cfg.OPTIM.WEIGHT_DECAY)
         self._nesterov = bool(cfg.OPTIM.SGD_NESTEROV)
+        self._dampening = float(cfg.OPTIM.SGD_DAMPNING)
+        if self._nesterov and self._dampening:
+            # torch.optim.SGD raises the same way
+            raise ValueError("Nesterov momentum requires zero dampening")
 
         print("Building custom CLIP")
         self.build_method()
@@ -155,7 +159,7 @@ class CLIPMethodTrainer(TrainerBase):
             params, opt_state = sgd_update(
                 params, grads, opt_state, lr,
                 momentum=self._momentum, weight_decay=self._weight_decay,
-                nesterov=self._nesterov,
+                nesterov=self._nesterov, dampening=self._dampening,
             )
             acc = jnp.sum((jnp.argmax(logits, -1) == labels) * mask) / jnp.sum(mask)
             return params, opt_state, loss, acc
@@ -423,4 +427,10 @@ class CLIPMethodTrainer(TrainerBase):
         return self.opt_state.momentum
 
     def set_optim_state(self, name: str, state) -> None:
-        self.opt_state = SGDState(momentum=jax.tree_util.tree_map(jnp.asarray, state))
+        # checkpoints store only the momentum pytree; a resumed optimizer
+        # is past its first update, so step=1 (all torch cares about is
+        # step != 0 for the first-write dampening special case)
+        self.opt_state = SGDState(
+            momentum=jax.tree_util.tree_map(jnp.asarray, state),
+            step=jnp.ones((), jnp.int32),
+        )

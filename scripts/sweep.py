@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import os
+import glob
 import subprocess
 import sys
 import time
@@ -37,16 +38,25 @@ B2N_DATASETS = [
 def job_done(output_dir: str, phase: str = "test") -> bool:
     # output dirs are repo-relative (train.py runs with cwd=REPO); anchor
     # there so the check works however sweep.py itself is invoked
-    log = os.path.join(REPO, output_dir, "log.txt")
-    if not os.path.exists(log):
+    # A reused output dir keeps its first log.txt and each later run
+    # writes log.txt-<timestamp> (Dassl logger semantics) — a successful
+    # RETRY after a crash therefore lands in a timestamped file, so
+    # completion must consider every log, not just log.txt.
+    logs = sorted(glob.glob(os.path.join(REPO, output_dir, "log.txt*")))
+    if not logs:
         return False
-    with open(log) as f:
-        tail = f.read()
-    if phase == "train":
-        # per-epoch best_val evaluation prints "=> result" long before the
-        # final checkpoint lands — only the end marker proves completion
-        return "Finish training" in tail
-    return "Finish training" in tail or "=> result" in tail
+    for log in logs:
+        with open(log) as f:
+            tail = f.read()
+        if phase == "train":
+            # per-epoch best_val evaluation prints "=> result" long before
+            # the final checkpoint lands — only the end marker proves
+            # completion
+            if "Finish training" in tail:
+                return True
+        elif "Finish training" in tail or "=> result" in tail:
+            return True
+    return False
 
 
 def make_base2new_jobs(args):

@@ -24,6 +24,9 @@ print("hello tee")
 
 
 def test_logger_preserves_old_log(tmp_path):
+    """Dassl precedence: the EXISTING log.txt is never touched — the new
+    run writes to log.txt-<timestamp>.  parse_test_res reads exactly
+    log.txt, so the first run's results win for a reused output dir."""
     (tmp_path / "log.txt").write_text("old run\n")
     code = f"""
 from rpo_tpu.engine import setup_logger
@@ -33,8 +36,11 @@ print("new run")
     subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     logs = sorted(os.listdir(tmp_path))
-    assert len(logs) == 2  # renamed old + fresh log.txt
-    assert "new run" in open(tmp_path / "log.txt").read()
+    assert len(logs) == 2  # untouched log.txt + timestamped new log
+    assert open(tmp_path / "log.txt").read() == "old run\n"
+    ts_log = [l for l in logs if l != "log.txt"][0]
+    assert ts_log.startswith("log.txt-")
+    assert "new run" in open(tmp_path / ts_log).read()
 
 
 def test_device_prefetch_order_and_content():

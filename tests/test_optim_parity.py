@@ -108,3 +108,59 @@ def test_constant_warmup_composition_matches_dassl():
         )
         opt.step()
         sched.step()
+
+
+def test_sgd_dampening_matches_torch():
+    """torch applies (1-dampening) to every buffer update EXCEPT the very
+    first write (buf starts as the raw grad) — sgd_update reproduces that
+    via the SGDState.step counter."""
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(4, 8).astype(np.float32)
+
+    t_w = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD(
+        [t_w], lr=0.01, momentum=0.9, weight_decay=5e-4, dampening=0.3
+    )
+
+    j_w = {"w": jnp.asarray(w0)}
+    state = sgd_init(j_w)
+
+    for step in range(6):
+        g = rng.randn(4, 8).astype(np.float32)
+        opt.zero_grad()
+        t_w.grad = torch.from_numpy(g.copy())
+        opt.step()
+        j_w, state = sgd_update(
+            j_w, {"w": jnp.asarray(g)}, state, 0.01,
+            momentum=0.9, weight_decay=5e-4, dampening=0.3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_w["w"]), t_w.detach().numpy(), rtol=1e-6, atol=1e-7,
+            err_msg=f"diverged at step {step}",
+        )
+
+
+def test_warmup_recount_false_counts_warmup_epochs():
+    """OPTIM.WARMUP_RECOUNT=False: the successor runs on the absolute
+    epoch index (warmup epochs count toward the cosine), instead of
+    restarting at full LR after warmup."""
+    import math
+    import types
+
+    base = dict(
+        LR=0.01, MAX_EPOCH=10, LR_SCHEDULER="cosine",
+        WARMUP_EPOCH=1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5,
+        WARMUP_MIN_LR=1e-5, STEPSIZE=(-1,), GAMMA=0.1,
+    )
+    recount = types.SimpleNamespace(**base, WARMUP_RECOUNT=True)
+    absolute = types.SimpleNamespace(**base, WARMUP_RECOUNT=False)
+    assert lr_at_epoch(recount, 0) == lr_at_epoch(absolute, 0) == 1e-5
+    # first post-warmup epoch: recount restarts at full LR ...
+    np.testing.assert_allclose(lr_at_epoch(recount, 1), 0.01)
+    # ... absolute continues the cosine at epoch index 1
+    np.testing.assert_allclose(
+        lr_at_epoch(absolute, 1), 0.01 * 0.5 * (1 + math.cos(math.pi * 1 / 10))
+    )
+    # default (attr missing) == recount semantics
+    legacy = types.SimpleNamespace(**base)
+    assert lr_at_epoch(legacy, 1) == lr_at_epoch(recount, 1)

@@ -194,3 +194,20 @@ def test_cocoop_remat_and_chunking_equivalent():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+
+def test_merge_from_list_respects_freeze():
+    """merge_from_list must fail on a frozen cfg like _merge_dict/yacs do,
+    not silently mutate state that derived objects (jit programs,
+    loaders) were built from."""
+    import pytest
+
+    from rpo_tpu.engine import get_cfg_default
+
+    cfg = get_cfg_default()
+    cfg.merge_from_list(["OPTIM.LR", "0.1"])  # mutable: fine
+    assert cfg.OPTIM.LR == 0.1
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.merge_from_list(["OPTIM.LR", "0.2"])
+    assert cfg.OPTIM.LR == 0.1
