@@ -202,15 +202,9 @@ bool eval_preprocess(const char* path, int size, uint8_t* out) {
   int w, h;
   if (!decode_jpeg(path, &img, &w, &h)) return false;
 
-  int rw, rh;
-  if (w <= h) {
-    rw = size;
-    rh = std::max(size, int(std::lround(double(size) * h / w)));
-  } else {
-    rh = size;
-    rw = std::max(size, int(std::lround(double(size) * w / h)));
-  }
-  // torchvision computes int(size*h/w) (truncation); match it
+  // torchvision resize-shorter: short side = size, long side =
+  // int(size * long / short) (truncation; >= size since long > short)
+  int rw = size, rh = size;
   if (w < h) rh = int(double(size) * h / w);
   else if (h < w) rw = int(double(size) * w / h);
 

@@ -58,7 +58,16 @@ def _maybe_download(backbone_name: str) -> Optional[str]:
         print(f"Downloading {url} -> {target}")
         tmp = target + ".part"
         try:
-            urllib.request.urlretrieve(url, tmp)
+            # explicit timeout: a blackholed connection (firewalled pod)
+            # must trigger the random-init fallback, not hang startup
+            with urllib.request.urlopen(url, timeout=60) as resp, open(
+                tmp, "wb"
+            ) as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
         except Exception as exc:  # no egress: fall back to random init
             print(f"(!) download failed ({exc}); continuing without weights")
             return None
@@ -90,6 +99,32 @@ def find_checkpoint(backbone_name: str) -> Optional[str]:
     if fname:
         path = os.path.join(cache_dir, fname)
         if os.path.exists(path):
+            # verify cached files whose expected SHA we know (the OpenAI
+            # URLs embed it) — a truncated download should be reported,
+            # not loaded blind.  Like the reference _download
+            # (clip.py:49-53), quarantine + redownload only when
+            # downloading is enabled; otherwise warn and proceed (the
+            # file may be deliberate custom weights at the canonical
+            # name, and random init would be worse than trying it).
+            url = _URLS.get(backbone_name)
+            if url and os.path.basename(url) == fname:
+                import hashlib
+
+                with open(path, "rb") as f:
+                    digest = hashlib.sha256(f.read()).hexdigest()
+                if digest != url.split("/")[-2]:
+                    if os.environ.get("RPO_TPU_ALLOW_DOWNLOAD") == "1":
+                        print(
+                            f"(!) cached {path} fails SHA256 verification; "
+                            "quarantining and re-downloading"
+                        )
+                        os.rename(path, path + ".corrupt")
+                        return _maybe_download(backbone_name)
+                    print(
+                        f"(!) {path} does not match the published SHA256 "
+                        "for this backbone (custom weights, or a "
+                        "truncated download)"
+                    )
             return path
     return _maybe_download(backbone_name)
 

@@ -104,6 +104,9 @@ def dot_product_attention(
             and bias.shape[1] == 1  # the kernel's bias block is pinned to
             # head 0 — a per-head bias must take the XLA path, not be
             # silently truncated to one head's bias for all heads
+            and bias.shape[0] in (1, q.shape[0])  # any other batch dim is
+            # non-broadcastable: XLA raises, but a Pallas BlockSpec would
+            # clamp the out-of-range block index and silently reuse rows
         ):
             from rpo_tpu.ops.pallas_attention import pallas_attention
 

@@ -211,3 +211,50 @@ def test_merge_from_list_respects_freeze():
     with pytest.raises(AttributeError):
         cfg.merge_from_list(["OPTIM.LR", "0.2"])
     assert cfg.OPTIM.LR == 0.1
+
+
+def test_cached_checkpoint_sha_verification(tmp_path, monkeypatch):
+    """A cached checkpoint at the canonical name with a wrong SHA256 is
+    (a) warned about but still returned when downloads are off (it may be
+    deliberate custom weights), (b) quarantined to .corrupt and
+    re-resolved when RPO_TPU_ALLOW_DOWNLOAD=1 (reference clip.py:49-53
+    redownload-on-mismatch semantics)."""
+    import os
+
+    from rpo_tpu.models.clip import pretrained as P
+
+    monkeypatch.delenv("CLIP_CHECKPOINT", raising=False)
+    monkeypatch.setenv("CLIP_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("RPO_TPU_ALLOW_DOWNLOAD", raising=False)
+    path = tmp_path / P._FILENAMES["ViT-B/16"]
+    path.write_bytes(b"not a checkpoint")
+
+    assert P.find_checkpoint("ViT-B/16") == str(path)  # warn, not destroy
+
+    monkeypatch.setenv("RPO_TPU_ALLOW_DOWNLOAD", "1")
+    # no egress in this environment: the redownload attempt fails and the
+    # resolution falls back to None — but the corrupt file is quarantined
+    assert P.find_checkpoint("ViT-B/16") is None
+    assert os.path.exists(str(path) + ".corrupt")
+    assert not path.exists()
+
+
+def test_pallas_gate_rejects_nonbroadcastable_bias():
+    """A bias whose batch dim matches neither 1 nor B must take the XLA
+    path (which raises a broadcast error) — a Pallas BlockSpec would
+    clamp the out-of-range block index and silently reuse rows."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rpo_tpu.ops.attention import dot_product_attention, pallas_attention_scope
+
+    B, H, L, D = 4, 2, 128, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, H, L, D), jnp.float32)
+    k = jax.random.normal(k2, (B, H, L, D), jnp.float32)
+    v = jax.random.normal(k3, (B, H, L, D), jnp.float32)
+    bad_bias = jnp.zeros((2, 1, L, L), jnp.float32)  # batch 2 != 1, != 4
+    with pallas_attention_scope(True):
+        with pytest.raises(Exception):
+            dot_product_attention(q, k, v, bad_bias)
