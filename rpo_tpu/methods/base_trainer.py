@@ -85,6 +85,20 @@ def prec_dtype(prec: str):
     return {"fp16": jnp.bfloat16, "amp": jnp.bfloat16, "fp32": jnp.float32}[prec]
 
 
+def prewarm_plan(group: int, num_batches: int):
+    """Which train programs will the epoch loop actually dispatch?
+
+    Mirrors ``engine/trainer.py::run_epoch``: the grouped program runs
+    only for FULL groups of ``group`` batches; the trailing partial group
+    (and everything, when ``group == 1`` or the epoch is shorter than one
+    group) goes through the per-batch step.  Returns
+    ``(warm_grouped, warm_single)``.
+    """
+    warm_grouped = group > 1 and num_batches >= group
+    warm_single = not warm_grouped or num_batches % group != 0
+    return warm_grouped, warm_single
+
+
 class CLIPMethodTrainer(TrainerBase):
     prec_key = ""  # e.g. "RPO" -> cfg.TRAINER.RPO.PREC
     model_name = "model"
@@ -287,19 +301,16 @@ class CLIPMethodTrainer(TrainerBase):
         def warm_train():
             lr = jnp.float32(0.0)
             imgs, labels, mask = batch(train_b)
-            if group > 1 and num_batches > 0:
-                sizes = {min(group, num_batches)}
-                if num_batches % group:
-                    sizes.add(num_batches % group)
-                for g in sorted(sizes, reverse=True):
-                    tile = lambda t: jax.tree_util.tree_map(
-                        lambda x: jnp.broadcast_to(x[None], (g,) + x.shape), t
-                    )
-                    self._train_multi_step(
-                        dummy_params(), sgd_init(dummy_params()), frozen,
-                        tile(imgs), tile(labels), tile(mask), lr,
-                    )
-            else:
+            warm_grouped, warm_single = prewarm_plan(group, num_batches)
+            if warm_grouped:
+                tile = lambda t: jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x[None], (group,) + x.shape), t
+                )
+                self._train_multi_step(
+                    dummy_params(), sgd_init(dummy_params()), frozen,
+                    tile(imgs), tile(labels), tile(mask), lr,
+                )
+            if warm_single:
                 self._train_step(
                     dummy_params(), sgd_init(dummy_params()), frozen,
                     imgs, labels, mask, lr,

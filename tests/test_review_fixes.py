@@ -258,3 +258,23 @@ def test_pallas_gate_rejects_nonbroadcastable_bias():
     with pallas_attention_scope(True):
         with pytest.raises(Exception):
             dot_product_attention(q, k, v, bad_bias)
+
+
+def test_prewarm_plan_matches_engine_dispatch():
+    """prewarm_plan must warm exactly the programs run_epoch dispatches:
+    the grouped program only for full groups, the per-batch step for the
+    trailing partial group (engine/trainer.py run_epoch routes the
+    remainder through forward_backward, commit 5003a91)."""
+    from rpo_tpu.methods.base_trainer import prewarm_plan
+
+    for group in (1, 2, 3, 4, 8):
+        for num_batches in (0, 1, 2, 3, 4, 5, 7, 8, 9, 16):
+            # simulate run_epoch's routing
+            if group > 1:
+                full_groups = num_batches // group
+                singles = num_batches % group
+            else:
+                full_groups, singles = 0, num_batches
+            expect = (full_groups > 0, singles > 0 or full_groups == 0)
+            got = prewarm_plan(group, num_batches)
+            assert got == expect, (group, num_batches, got, expect)
