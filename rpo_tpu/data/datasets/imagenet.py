@@ -12,7 +12,6 @@ shared machinery in splits.py rather than inline code.
 from __future__ import annotations
 
 import os
-import pickle
 from collections import OrderedDict
 
 from rpo_tpu.data.datum import Datum, DatasetBase
@@ -53,18 +52,18 @@ class ImageNet(FewShotDataset):
         # loaded here (foreign dassl cache): a rescan is persisted under a
         # framework-specific name so the 1.28M-image enumeration is paid once
         cache_rpo = os.path.join(dataset_dir, "preprocessed_rpo_tpu.pkl")
+        from rpo_tpu.data.interop import dump_datum_pickle, load_datum_pickle
+
         for cand in (cache, cache_rpo):
             if os.path.exists(cand):
                 try:
                     with open(cand, "rb") as f:
-                        data = pickle.load(f)
+                        data = load_datum_pickle(f)  # Dassl caches load too
                     return data["train"], data["test"]
                 except Exception as exc:
-                    # a cache written by the torch/dassl reference sharing
-                    # the same data root (unpicklable here: dassl Datum
-                    # objects), or a truncated file from a killed writer —
-                    # regenerate, keep the foreign/broken file intact (same
-                    # policy as the few-shot cache, splits.py)
+                    # a truncated file from a killed writer, or a foreign
+                    # format interop.py doesn't cover — regenerate, keep the
+                    # broken file intact (same policy as splits.py)
                     print(
                         f"(!) Could not load {cand} ({exc}); rescanning the "
                         "image tree without overwriting"
@@ -81,11 +80,9 @@ class ImageNet(FewShotDataset):
         tmp = f"{dest}.tmp.{os.getpid()}"
         try:
             with open(tmp, "wb") as f:  # write-then-rename: no
-                # truncated cache from a killed job
-                pickle.dump(
-                    {"train": train, "test": test},
-                    f, protocol=pickle.HIGHEST_PROTOCOL,
-                )
+                # truncated cache from a killed job; Dassl-format pickle so
+                # a reference run on this root can load it (interop.py)
+                dump_datum_pickle({"train": train, "test": test}, f)
             os.replace(tmp, dest)
         except OSError as exc:  # read-only dataset mount etc.
             print(f"(!) Could not save {dest} ({exc})")

@@ -30,6 +30,21 @@ class Datum:
     def __repr__(self) -> str:
         return f"Datum(impath={self.impath!r}, label={self.label}, classname={self.classname!r})"
 
+    def __setstate__(self, state):
+        """Accept both pickle state layouts: ours ((None, slots_dict) for
+        this __slots__ class) and Dassl's (__dict__ with private
+        ``_impath``/``_label``/``_domain``/``_classname`` keys) — see
+        data/interop.py for why Dassl-format pickles reach this class."""
+        if isinstance(state, tuple):  # (dict_state, slots_state)
+            d, s = state
+            merged = {**(d or {}), **(s or {})}
+        else:
+            merged = dict(state)
+        self.impath = merged.get("impath", merged.get("_impath", ""))
+        self.label = merged.get("label", merged.get("_label", 0))
+        self.classname = merged.get("classname", merged.get("_classname", ""))
+        self.domain = merged.get("domain", merged.get("_domain", 0))
+
 
 class DatasetBase:
     """Holds train_x/val/test item lists and derived class metadata."""

@@ -46,7 +46,8 @@ class BatchLoader:
         self.drop_last = bool(drop_last) and len(self.items) >= self.batch_size
         self.train = train
         self.shuffle = shuffle
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.num_workers = max(1, num_workers)
+        self.pool = ThreadPoolExecutor(max_workers=self.num_workers)
         self.prefetch = prefetch
 
     def __len__(self) -> int:
@@ -109,12 +110,26 @@ class BatchLoader:
         S = tp.device_resize
         # randomness drawn sequentially, exactly like the host path
         plans = [tp.make_plan(it.impath, True) for it in batch_items]
-        # decode-to-source via the C++ batch kernel when possible (at
-        # size=S the eval kernel IS raw_source), else the PIL pool
-        imgs = self._native_fixed_batch(batch_items, S)
+        # RRC boxes are sampled in ORIGINAL coordinates (transforms.py
+        # make_plan): exact-(S, S) sources pass the box to the device;
+        # any other size gets the crop host-applied during decode so the
+        # augmentation still covers the full frame
+        exact = [tp.image_size(it.impath) == (S, S) for it in batch_items]
+        imgs = None
+        if all(exact):
+            # decode-to-source via the C++ batch kernel when possible (at
+            # size=S the eval kernel IS raw_source), else the PIL pool
+            imgs = self._native_fixed_batch(batch_items, S)
         if imgs is None:
+            host_boxes = [
+                None if (ex or plan is None) else plan[0]
+                for ex, plan in zip(exact, plans)
+            ]
             imgs = list(
-                self.pool.map(tp.raw_source, [it.impath for it in batch_items])
+                self.pool.map(
+                    lambda ib: tp.raw_source(ib[0].impath, box=ib[1]),
+                    zip(batch_items, host_boxes),
+                )
             )
         B = self.pad_to
         n = len(batch_items)
@@ -129,8 +144,8 @@ class BatchLoader:
             out_mask[i] = 1.0
             if plan is not None:
                 box, flip = plan
-                if box is not None:
-                    out_box[i] = box
+                if box is not None and exact[i]:
+                    out_box[i] = box  # non-exact: host-applied, full frame
                 out_flip[i] = 1 if flip else 0
         return {
             "img": out_img, "label": out_lab, "mask": out_mask, "n": n,
@@ -178,7 +193,7 @@ class BatchLoader:
             n, size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            max(1, self.pool._max_workers),
+            self.num_workers,
         )
         imgs = []
         for i, it in enumerate(batch_items):
@@ -225,7 +240,7 @@ class BatchLoader:
             arr, n, size,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            max(1, self.pool._max_workers),
+            self.num_workers,
         )
         imgs = []
         for i, it in enumerate(batch_items):
@@ -260,6 +275,24 @@ class BatchLoader:
             # would deadlock
             self._producer_abandoned.set()
             prev.join()
+            # if the old iterator is still being consumed (not just
+            # dropped), its q.get() would now block forever — its producer
+            # will never deliver the stop sentinel.  Flush the stale queue
+            # and hand it an error instead of a silent deadlock.
+            prev_q = self._q
+            try:
+                while True:
+                    prev_q.get_nowait()
+            except queue.Empty:
+                pass
+            prev_q.put_nowait(
+                RuntimeError(
+                    "a new iteration of this BatchLoader started while a "
+                    "previous iterator was still active; concurrent "
+                    "iterators over one loader are unsupported (the seeded "
+                    "augmentation randomness is drawn sequentially)"
+                )
+            )
         order = self._order()
         chunks = [
             [self.items[j] for j in order[i : i + self.batch_size]]
@@ -299,6 +332,7 @@ class BatchLoader:
         t = threading.Thread(target=producer, daemon=True, name="batch-producer")
         self._producer = t
         self._producer_abandoned = abandoned
+        self._q = q
         t.start()
         try:
             while True:

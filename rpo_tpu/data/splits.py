@@ -10,7 +10,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import pickle
 import random
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
@@ -193,8 +192,10 @@ def load_or_create_fewshot(
     if os.path.exists(preprocessed):
         print(f"Loading preprocessed few-shot data from {preprocessed}")
         try:
+            from rpo_tpu.data.interop import load_datum_pickle
+
             with open(preprocessed, "rb") as f:
-                data = pickle.load(f)
+                data = load_datum_pickle(f)
             if val is not None and data.get("val") is None:
                 # a train-only cache (the ImageNet format) under a dataset
                 # that expects a few-shot val split: wrong format, not
@@ -206,9 +207,8 @@ def load_or_create_fewshot(
                 return sample()
             return data["train"], data.get("val")
         except Exception as exc:
-            # e.g. a cache written by the torch/dassl reference sharing the
-            # same data root (unpicklable here).  Regenerate in memory but
-            # do NOT overwrite the reference's file.
+            # a corrupt/truncated cache, or a foreign format interop.py
+            # doesn't cover.  Regenerate in memory but do NOT overwrite.
             print(
                 f"(!) Could not load few-shot cache {preprocessed} ({exc}); "
                 "regenerating without overwriting"
@@ -217,6 +217,11 @@ def load_or_create_fewshot(
     train, val = sample()
     payload = {"train": train} if val is None else {"train": train, "val": val}
     print(f"Saving preprocessed few-shot data to {preprocessed}")
+    # Dassl-format pickle (interop.py): a torch reference run sharing this
+    # data root can load the cache — and then trains on the SAME few-shot
+    # subset, making seed-level accuracy comparisons meaningful.
+    from rpo_tpu.data.interop import dump_datum_pickle
+
     with open(preprocessed, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        dump_datum_pickle(payload, f)
     return train, val

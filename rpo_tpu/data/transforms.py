@@ -180,25 +180,39 @@ class TransformPipeline:
             return None
         box = None
         if self.use_rrc:
-            if self.device_resize:
-                # device-augment mode: the box is applied on device to the
-                # uniform (S, S) source, so sample it in those coordinates
-                w = h = self.device_resize
-            else:
-                w, h = self.image_size(impath)
+            # ALWAYS sampled in ORIGINAL image coordinates, so the crop
+            # distribution matches the reference's RandomResizedCrop over
+            # the full frame.  In device-augment mode, exact-(S, S) sources
+            # (the documented fast path, e.g. EuroSAT 64x64) have original
+            # == source coordinates and the box applies on device; for any
+            # other size the loader host-applies the box during decode
+            # (raw_source(box=...)) — a center-cropped source would never
+            # see the edge content of non-square images.
+            w, h = self.image_size(impath)
             box = sample_rrc_box(w, h, self.scale)
         flip = bool(self.use_flip and random.random() < 0.5)
         return (box, flip)
 
-    def raw_source(self, impath: str) -> np.ndarray:
-        """Device-augment train path: the raw (S, S, 3) uint8 source (odd
-        sizes host-normalized to the uniform source shape, as in the
-        device-resize eval path); the crop/resize/flip in the plan run on
-        device (ops/preprocess.py::device_train_preprocess)."""
+    def raw_source(self, impath: str, box=None) -> np.ndarray:
+        """Device-augment path: the raw (S, S, 3) uint8 source.
+
+        Exact-(S, S) images ship verbatim (the crop/resize/flip in the
+        plan run on device, ops/preprocess.py::device_train_preprocess).
+        Other sizes are host-normalized to (S, S): with ``box`` (an RRC
+        box in ORIGINAL coordinates) the crop is applied here so the
+        augmentation distribution covers the full frame; without, the
+        eval-style resize-shorter + center-crop."""
         S = self.device_resize
         img = load_image(impath)
         if img.size != (S, S):
-            img = center_crop(resize_shorter(img, S, self.interpolation), S)
+            if box is not None:
+                left, top, cw, ch = box
+                img = img.resize(
+                    (S, S), _interp(self.interpolation),
+                    box=(left, top, left + cw, top + ch),
+                )
+            else:
+                img = center_crop(resize_shorter(img, S, self.interpolation), S)
         return np.asarray(img, dtype=np.uint8)
 
     def __call__(self, impath: str, train: bool, plan=None) -> np.ndarray:
@@ -209,18 +223,25 @@ class TransformPipeline:
             # via the native C++ kernel.)
             return self.raw_source(impath)
         if train and self.device_resize:
-            # Host-side equivalent of the device-augment train path
-            # (plans are sampled in (S, S) source coordinates): decode to
-            # the uniform source, apply the planned box/flip with PIL.
-            # Production batches run this math on device
+            # Host-side equivalent of the device-augment train path:
+            # decode to the uniform source, apply the planned box/flip
+            # with PIL.  Production batches run this math on device
             # (device_train_preprocess); this path keeps the transform
             # callable coherent for per-item fallbacks and tests.
             if plan is None:
                 plan = self.make_plan(impath, train)
-            img = Image.fromarray(self.raw_source(impath))
             box, flip = plan if plan is not None else (None, False)
             S = self.device_resize
-            left, top, cw, ch = box if box is not None else (0, 0, S, S)
+            exact = self.image_size(impath) == (S, S)
+            # non-exact sources: the box (original coordinates) is
+            # host-applied inside raw_source; the device sees the full
+            # (S, S) frame — mirror that here
+            img = Image.fromarray(
+                self.raw_source(impath, box=None if exact else box)
+            )
+            left, top, cw, ch = (
+                box if (box is not None and exact) else (0, 0, S, S)
+            )
             img = img.resize(
                 (self.size, self.size),
                 _interp(self.interpolation),
