@@ -75,8 +75,11 @@ def cocoop_logits(
     ctx = params["ctx"].astype(jnp.float32)  # (n_ctx, ctx_dim)
     ctx_shifted = ctx[None] + bias[:, None, :]  # (B, n_ctx, ctx_dim)
 
-    frozen_emb = clip_params["text"]["token_embedding"][jnp.asarray(task.text_tokens)]
-    tokens = jnp.asarray(task.text_tokens)
+    # Truncated to task.text_len (exact under the causal mask — see
+    # CoOpTask.text_len); CoCoOp is text-FLOP-bound (n_cls text encodes
+    # per image), so this is the dominant-term reduction.
+    tokens = jnp.asarray(task.text_tokens[:, : task.text_len])
+    frozen_emb = clip_params["text"]["token_embedding"][tokens]
     scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
 
     def per_image(ctx_i, imf_i):

@@ -41,6 +41,14 @@ class CoOpTask:
     ctx_mask: np.ndarray  # (n_cls, 77) bool: position is a context slot
     ctx_idx: np.ndarray  # (n_cls, 77) int: which context vector
     emb_idx: np.ndarray  # (n_cls, 77) int: which frozen-embedding position
+    # Static per-task sequence length actually run through the text tower:
+    # max over classes of (EOT position + 1), rounded up to a sublane
+    # multiple of 8.  Exact under the causal mask — a query position only
+    # attends to keys <= itself and only EOT positions are gathered, so
+    # positions past the longest EOT are dead compute (the reference runs
+    # all 77 and discards them, coop.py:46-57).  Typical prompts are
+    # 10-16 tokens, so this cuts the text tower ~5x.
+    text_len: int = 77
 
 
 def build_position_plan(
@@ -103,6 +111,8 @@ def make_task(
     ctx_mask, ctx_idx, emb_idx = build_position_plan(
         n_ctx, name_lens, position, cfg.context_length
     )
+    text_len = int(np.argmax(tokens, axis=-1).max()) + 1
+    text_len = min(cfg.context_length, -(-text_len // 8) * 8)
     return CoOpTask(
         cfg=cfg,
         n_cls=len(classnames),
@@ -112,6 +122,7 @@ def make_task(
         ctx_mask=ctx_mask,
         ctx_idx=ctx_idx,
         emb_idx=emb_idx,
+        text_len=text_len,
     )
 
 
@@ -152,30 +163,34 @@ def assemble_prompt_embeddings(
     """(n_cls, 77, d) embedded prompts with context spliced in.
 
     ctx: (n_ctx, d) or (n_cls, n_ctx, d); frozen_emb: token embeddings of
-    the tokenized prompts (n_cls, 77, d)."""
+    the tokenized prompts (n_cls, L, d) — L may be the truncated
+    task.text_len; the plan arrays are sliced to match."""
     dtype = frozen_emb.dtype
+    L = frozen_emb.shape[1]
     if ctx.ndim == 2:
         ctx_full = jnp.broadcast_to(ctx[None], (task.n_cls,) + ctx.shape)
     else:
         ctx_full = ctx
     ctx_full = ctx_full.astype(dtype)
     g_ctx = jnp.take_along_axis(
-        ctx_full, jnp.asarray(task.ctx_idx)[:, :, None], axis=1
+        ctx_full, jnp.asarray(task.ctx_idx[:, :L])[:, :, None], axis=1
     )
     g_emb = jnp.take_along_axis(
-        frozen_emb, jnp.asarray(task.emb_idx)[:, :, None], axis=1
+        frozen_emb, jnp.asarray(task.emb_idx[:, :L])[:, :, None], axis=1
     )
-    return jnp.where(jnp.asarray(task.ctx_mask)[:, :, None], g_ctx, g_emb)
+    return jnp.where(jnp.asarray(task.ctx_mask[:, :L])[:, :, None], g_ctx, g_emb)
 
 
 def text_encoder(
     clip_params, cfg: CLIPConfig, prompts_emb: jax.Array, tokens: jax.Array
 ) -> jax.Array:
     """Causal text tower on pre-embedded prompts, EOT gather
-    (coop.py:46-57)."""
+    (coop.py:46-57).  Runs at the (possibly truncated) sequence length of
+    ``prompts_emb`` — exact, see CoOpTask.text_len."""
     t = clip_params["text"]
-    x = prompts_emb + t["positional_embedding"].astype(prompts_emb.dtype)
-    bias = causal_mask(cfg.context_length)[None, None]
+    L = prompts_emb.shape[1]
+    x = prompts_emb + t["positional_embedding"][:L].astype(prompts_emb.dtype)
+    bias = causal_mask(L)[None, None]
     x = text_transformer_run(t, cfg, x, bias)
     x = layer_norm(x, t["ln_final"])
     eot_pos = jnp.argmax(tokens, axis=-1)
@@ -186,11 +201,10 @@ def text_encoder(
 
 
 def coop_text_features(params: Params, clip_params, task: CoOpTask) -> jax.Array:
-    frozen_emb = clip_params["text"]["token_embedding"][
-        jnp.asarray(task.text_tokens)
-    ]
+    tokens = jnp.asarray(task.text_tokens[:, : task.text_len])
+    frozen_emb = clip_params["text"]["token_embedding"][tokens]
     prompts_emb = assemble_prompt_embeddings(params["ctx"], frozen_emb, task)
-    return text_encoder(clip_params, task.cfg, prompts_emb, jnp.asarray(task.text_tokens))
+    return text_encoder(clip_params, task.cfg, prompts_emb, tokens)
 
 
 def coop_logits(

@@ -216,3 +216,41 @@ def test_lp_logits_parity(small_clip):
     np.testing.assert_allclose(
         np.asarray(ours), ref_logits.numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.parametrize("position", ["end", "middle", "front"])
+def test_text_truncation_exact(small_clip, position):
+    """CoOpTask.text_len truncation is exact: under the causal mask,
+    positions past the longest EOT never influence the gathered EOT
+    outputs (reference runs all 77 and discards them, coop.py:46-57)."""
+    import dataclasses
+
+    model, params, cfg = small_clip
+    task = jcoop.make_task(cfg, CLASSNAMES, N_CTX, False, position, "a photo of a")
+    assert task.text_len < cfg.context_length  # the test prompts are short
+    assert task.text_len % 8 == 0
+    full_task = dataclasses.replace(task, text_len=cfg.context_length)
+
+    key = jax.random.PRNGKey(7)
+    ctx = {"ctx": jax.random.normal(key, (N_CTX, cfg.text_width), jnp.float32) * 0.02}
+    tf_trunc = np.asarray(jcoop.coop_text_features(ctx, params, task))
+    tf_full = np.asarray(jcoop.coop_text_features(ctx, params, full_task))
+    np.testing.assert_allclose(tf_trunc, tf_full, rtol=1e-5, atol=1e-5)
+
+
+def test_cocoop_truncation_exact(small_clip):
+    import dataclasses
+
+    model, params, cfg = small_clip
+    task = jcoop.make_task(cfg, CLASSNAMES, N_CTX, False, "end", "a photo of a")
+    full_task = dataclasses.replace(task, text_len=cfg.context_length)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    jparams = {
+        "ctx": jax.random.normal(k1, (N_CTX, cfg.text_width), jnp.float32) * 0.02,
+        "meta_net": jcocoop.init_meta_net(k2, cfg.embed_dim, cfg.text_width),
+    }
+    imgs = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, 3), jnp.float32)
+    lt = np.asarray(jcocoop.cocoop_logits(jparams, params, task, imgs))
+    lf = np.asarray(jcocoop.cocoop_logits(jparams, params, full_task, imgs))
+    np.testing.assert_allclose(lt, lf, rtol=1e-5, atol=1e-4)
