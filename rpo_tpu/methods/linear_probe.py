@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from rpo_tpu.engine.registry import TRAINER_REGISTRY
 from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
 from rpo_tpu.models.clip import encode_image, encode_text
-from rpo_tpu.tokenizer import tokenize
+from rpo_tpu.tokenizer import eot_trim, tokenize
 
 Params = Dict[str, jnp.ndarray]
 
@@ -53,7 +53,7 @@ class LP(CLIPMethodTrainer):
         prompts = [
             cfg.TRAINER.LP.PROMPT.format(cls_name=c) for c in self.dm.classnames
         ]
-        tokens = jnp.asarray(tokenize(prompts))
+        tokens = jnp.asarray(eot_trim(tokenize(prompts)))
         text_f = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
         text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
         ccfg = self.clip_cfg

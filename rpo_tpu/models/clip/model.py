@@ -294,9 +294,14 @@ def encode_image(
 # ---------------------------------------------------------------------------
 
 def text_embed(params: Params, tokens: jax.Array) -> jax.Array:
-    """Token ids (B, 77) -> embedded sequence + positional (B, 77, width)."""
+    """Token ids (B, L) -> embedded sequence + positional (B, L, width).
+
+    L may be shorter than the trained context length: callers can
+    truncate past the longest EOT (exact under the causal mask — see
+    encode_text)."""
     emb = params["token_embedding"][tokens]
-    return emb + params["positional_embedding"].astype(emb.dtype)
+    pos = params["positional_embedding"][: tokens.shape[1]]
+    return emb + pos.astype(emb.dtype)
 
 
 def text_transformer_run(
@@ -312,10 +317,16 @@ def text_transformer_run(
 def encode_text(
     params: Params, cfg: CLIPConfig, tokens: jax.Array, remat: bool = False
 ) -> jax.Array:
-    """Standard CLIP text features: EOT-position head (model.py:347-360)."""
+    """Standard CLIP text features: EOT-position head (model.py:347-360).
+
+    Length-agnostic: runs at ``tokens.shape[1]``.  Passing tokens
+    truncated anywhere past the longest EOT is exact — under the causal
+    mask a query position only reads keys <= itself and only EOT
+    positions are gathered, so later positions are dead compute (the
+    reference always runs the full 77, model.py:354)."""
     t = params["text"]
     x = text_embed(t, tokens)
-    bias = causal_mask(cfg.context_length)[None, None]
+    bias = causal_mask(tokens.shape[1])[None, None]
     x = text_transformer_run(t, cfg, x, bias, remat=remat)
     x = layer_norm(x, t["ln_final"])
     eot_pos = jnp.argmax(tokens, axis=-1)

@@ -4,6 +4,7 @@ from .bpe import (
     SOT_TOKEN,
     VOCAB_SIZE,
     ClipTokenizer,
+    eot_trim,
     get_tokenizer,
     tokenize,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "SOT_TOKEN",
     "VOCAB_SIZE",
     "ClipTokenizer",
+    "eot_trim",
     "get_tokenizer",
     "tokenize",
 ]

@@ -209,3 +209,15 @@ def tokenize(
             ids = ids[: context_length - 1] + [EOT_TOKEN]
         out[i, : len(ids)] = ids
     return out
+
+
+def eot_trim(tokens: np.ndarray, multiple: int = 8) -> np.ndarray:
+    """Trim padded token rows past the longest EOT (host-side).
+
+    Returns ``tokens[:, :L]`` with L = max(EOT position)+1 rounded up to
+    a sublane ``multiple``.  Exact for causal-mask encoders that gather
+    only EOT positions (see models/clip/model.py::encode_text); the
+    reference always runs the full 77 (clip/model.py:354)."""
+    L = int(tokens.argmax(axis=-1).max()) + 1
+    L = min(tokens.shape[1], -(-L // multiple) * multiple)
+    return tokens[:, :L]

@@ -114,3 +114,25 @@ def test_tokenize_overflow():
     arr = tokenize(long_text, truncate=True)
     assert arr.shape == (1, CONTEXT_LENGTH)
     assert arr[0, -1] == EOT_TOKEN
+
+
+def test_eot_trim_exact_encode_text():
+    """eot_trim + length-agnostic encode_text == full-77 encode_text
+    (the reference always runs 77, clip/model.py:354)."""
+    import jax
+    import jax.numpy as jnp
+    from rpo_tpu.tokenizer import eot_trim
+    from rpo_tpu.models.clip.model import CLIPConfig, encode_text, init_clip
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=32,
+        vision_patch_size=8, context_length=CONTEXT_LENGTH, vocab_size=49408,
+        text_layers=2, text_width=32, text_heads=2,
+    )
+    params = init_clip(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tokens = tokenize(["a photo of a dog.", "cat", "a centered satellite photo of forest"])
+    trimmed = eot_trim(tokens)
+    assert trimmed.shape[1] < CONTEXT_LENGTH and trimmed.shape[1] % 8 == 0
+    full = np.asarray(encode_text(params, cfg, jnp.asarray(tokens)))
+    trim = np.asarray(encode_text(params, cfg, jnp.asarray(trimmed)))
+    np.testing.assert_allclose(trim, full, rtol=1e-5, atol=1e-5)
