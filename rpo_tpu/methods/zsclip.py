@@ -25,19 +25,36 @@ class ZeroshotCLIP(TrainerBase):
     """zsclip.py:32-60."""
 
     def _text_features_for(self, templates) -> jnp.ndarray:
-        feats = 0.0
-        for temp in templates:
-            prompts = [
-                temp.format(c.replace("_", " ")) for c in self.dm.classnames
-            ]
-            # trim past the longest EOT (exact; ~5x fewer text rows for
-            # the 80-template ensemble at n_cls=1000)
-            tokens = jnp.asarray(eot_trim(tokenize(prompts)))
-            tf = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
-            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
-            feats = feats + tf
-        feats = feats / len(templates)
-        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        """Normalized ensemble text features (zsclip.py:37-47, 79-92).
+
+        The reference encodes template-by-template in a python loop; here
+        all templates go through ONE jitted call — a lax.map over
+        templates (each step encodes one template's n_cls prompts, so
+        peak memory is one template's tower) — avoiding one host->device
+        dispatch round per template over the slow tunnel.  Tokens are
+        eot-trimmed to the global longest prompt (exact; ~5x fewer text
+        rows than the reference's always-77, clip/model.py:354)."""
+        all_tokens = eot_trim(
+            np.stack([
+                tokenize([
+                    temp.format(c.replace("_", " "))
+                    for c in self.dm.classnames
+                ])
+                for temp in templates
+            ]).reshape(len(templates) * len(self.dm.classnames), -1)
+        ).reshape(len(templates), len(self.dm.classnames), -1)
+
+        ccfg = self.clip_cfg
+
+        def ensemble(clip_params, tokens):
+            def one_template(toks):
+                tf = encode_text(clip_params, ccfg, toks).astype(jnp.float32)
+                return tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+
+            feats = jnp.mean(jax.lax.map(one_template, tokens), axis=0)
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        return jax.jit(ensemble)(self.clip_params, jnp.asarray(all_tokens))
 
     def _select_templates(self):
         temp = CUSTOM_TEMPLATES[self.cfg.DATASET.NAME]
