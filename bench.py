@@ -597,9 +597,19 @@ def bench_cocoop() -> dict:
         compile_s[B] = c_s
 
     def eval_step(p, fz, imgs):
+        # Mirrors the trainer's scope split: Pallas kernels for the vision
+        # tower only — the per-image text towers run at L = text_len (~16
+        # post-truncation), far below the 128-lane tile where the paired
+        # kernel pads dead lanes (983 vs 655 img/s full-scope on v5e).
+        from rpo_tpu.models.clip import encode_image
+
         with pallas_attention_scope(True):
+            imf = encode_image(fz["clip"], task.cfg, normalize(imgs)).astype(
+                jnp.float32
+            )
+        with pallas_attention_scope(False):
             return cocoop.cocoop_logits(
-                p, fz["clip"], task, normalize(imgs), chunk=4
+                p, fz["clip"], task, None, chunk=4, image_features=imf
             )
 
     eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)

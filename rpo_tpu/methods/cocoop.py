@@ -12,7 +12,7 @@ program of shape (B, n_cls, 77) — removing the batch-1 constraint.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,7 @@ def cocoop_logits(
     images: jax.Array,
     chunk: int = 0,
     remat_per_image: bool = False,
+    image_features: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B, n_cls) logits with image-conditioned contexts
     (cocoop.py:144-189), vmapped over the batch.
@@ -68,7 +69,8 @@ def cocoop_logits(
     standard TPU FLOPs-for-HBM trade that lets TRAINING batches scale
     past the memory wall (B=32 at n_cls=51 OOMs a v5e chip without it)."""
     cfg = task.cfg
-    image_features = encode_image(clip_params, cfg, images).astype(jnp.float32)
+    if image_features is None:
+        image_features = encode_image(clip_params, cfg, images).astype(jnp.float32)
     imf = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
 
     bias = meta_net_apply(params["meta_net"], imf)  # (B, ctx_dim)
@@ -92,7 +94,7 @@ def cocoop_logits(
     if remat_per_image:
         per_image = jax.checkpoint(per_image)
 
-    B = images.shape[0]
+    B = imf.shape[0]
     if chunk <= 0 or chunk >= B:
         return jax.vmap(per_image)(ctx_shifted, imf)
     assert B % chunk == 0, f"batch {B} not divisible by chunk {chunk}"
@@ -158,14 +160,26 @@ class CoCoOp(CLIPMethodTrainer):
         train_step = self._make_train_step(train_logits)
 
         def eval_step(params, frozen, _unused_text_f, images_u8):
-            # chunked over images: bounds text-tower memory at large n_cls
+            # chunked over images: bounds text-tower memory at large n_cls.
+            # Scope split: the vision tower keeps the (outer) Pallas eval
+            # scope, but the per-image text towers run at L = text_len
+            # (~16 post-truncation) — rows far below the 128-lane tile,
+            # where the paired-head kernel pads 8x dead lanes.  XLA wins
+            # there: 983 vs 655 img/s on v5e (B=100, n_cls=51).
+            from rpo_tpu.ops.attention import pallas_attention_scope
+
             B = images_u8.shape[0]
             chunk = max(1, min(8, B))
             while B % chunk:
                 chunk -= 1
-            return cocoop_logits(
-                params, frozen["clip"], task, normalize(images_u8), chunk=chunk
-            )
+            imf = encode_image(
+                frozen["clip"], task.cfg, normalize(images_u8)
+            ).astype(jnp.float32)
+            with pallas_attention_scope(False):
+                return cocoop_logits(
+                    params, frozen["clip"], task, None,
+                    chunk=chunk, image_features=imf,
+                )
 
         self._install_steps(train_step, None, eval_step)
 
