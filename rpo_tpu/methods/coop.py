@@ -27,6 +27,7 @@ from rpo_tpu.models.clip import CLIPConfig, causal_mask, encode_image
 from rpo_tpu.models.clip.layers import layer_norm
 from rpo_tpu.models.clip.model import text_transformer_run
 from rpo_tpu.tokenizer import get_tokenizer, tokenize
+from rpo_tpu.tokenizer.bpe import eot_trim
 
 Params = Dict[str, jnp.ndarray]
 
@@ -111,8 +112,7 @@ def make_task(
     ctx_mask, ctx_idx, emb_idx = build_position_plan(
         n_ctx, name_lens, position, cfg.context_length
     )
-    text_len = int(np.argmax(tokens, axis=-1).max()) + 1
-    text_len = min(cfg.context_length, -(-text_len // 8) * 8)
+    text_len = min(cfg.context_length, eot_trim(tokens).shape[1])
     return CoOpTask(
         cfg=cfg,
         n_cls=len(classnames),

@@ -122,7 +122,8 @@ def main() -> None:
     import torch.nn.functional as F
 
     device = args.device or ("cuda" if torch.cuda.is_available() else "cpu")
-    prec = args.prec or ("fp16" if device == "cuda" else "fp32")
+    dev_type = torch.device(device).type  # "cuda:0" counts as cuda
+    prec = args.prec or ("fp16" if dev_type == "cuda" else "fp32")
 
     clip_mod = _load_by_path(f"{args.reference}/clip/model.py", "_ref_clip_model",
                              args.reference)
@@ -172,8 +173,8 @@ def main() -> None:
     eimgs = torch.randn(args.eval_batch, 3, 224, 224, device=device)
 
     def sync():
-        if device == "cuda":
-            torch.cuda.synchronize()
+        if dev_type == "cuda":
+            torch.cuda.synchronize(torch.device(device))
 
     def train_pass(n: int) -> float:
         model.prompt_learner.train()
@@ -192,7 +193,7 @@ def main() -> None:
             # write poisons autograd across steps — detach to restore
             # the exact cuda semantics (the overwritten positions are
             # fully re-written each forward, so values are identical).
-            if model.text_x.device.type == device:
+            if model.text_x.device.type == dev_type:
                 model.text_x = model.text_x.detach()
         sync()
         return n / (time.perf_counter() - t0)
@@ -222,7 +223,8 @@ def main() -> None:
             "eval_images_per_sec": round(eval_sps * args.eval_batch, 2),
             "train_steps_per_sec": round(train_sps, 2),
             "device": device,
-            "device_name": torch.cuda.get_device_name(0) if device == "cuda" else "cpu",
+            "device_name": (torch.cuda.get_device_name(torch.device(device))
+                            if dev_type == "cuda" else "cpu"),
             "prec": prec,
             "batch": args.batch,
             "eval_batch": args.eval_batch,
