@@ -65,6 +65,82 @@ def build(args):
     import numpy as np
 
     rng = np.random.RandomState(0)
+    if args.phase in ("cocoop-eval", "cocoop-train"):
+        # Mirrors bench.py::bench_cocoop / the CoCoOp trainer step
+        # (methods/cocoop.py): vmapped per-image text towers, chunked
+        # lax.map, eval scope split (Pallas vision, XLA text).
+        from rpo_tpu.methods import cocoop
+        from rpo_tpu.methods import coop as coop_core
+        from rpo_tpu.models.clip import encode_image
+
+        k_ctx, k_meta = jax.random.split(jax.random.PRNGKey(1))
+        ctx_params, prefix, n_ctx = coop_core.init_ctx(
+            k_ctx, params, cfg, args.n_cls, 4, False, "a photo of a"
+        )
+        mparams = {
+            "ctx": ctx_params["ctx"],
+            "meta_net": cocoop.init_meta_net(k_meta, cfg.embed_dim, cfg.text_width),
+        }
+        ctask = coop_core.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+        cfrozen = {"clip": params}
+        imgs = jnp.asarray(
+            rng.randint(0, 256, (args.batch, cfg.image_resolution,
+                                 cfg.image_resolution, 3)), jnp.uint8)
+        if args.phase == "cocoop-eval":
+            chunk = max(1, min(8, args.batch))
+            while args.batch % chunk:
+                chunk -= 1
+
+            def ceval(p, fz, images_u8):
+                with pallas_attention_scope(True):
+                    imf = encode_image(
+                        fz["clip"], ctask.cfg, normalize(images_u8)
+                    ).astype(jnp.float32)
+                with pallas_attention_scope(False):
+                    return cocoop.cocoop_logits(
+                        p, fz["clip"], ctask, None, chunk=chunk,
+                        image_features=imf,
+                    )
+
+            fn = jax.jit(ceval)
+
+            def run_one():
+                return fn(mparams, cfrozen, imgs)
+        else:
+            B = args.batch
+            remat = B >= 16
+            chunk = 0
+            if remat:
+                chunk = max(1, min(8, B))
+                while B % chunk:
+                    chunk -= 1
+
+            def ctrain(p, opt, fz, images_u8, labels, mask, lr):
+                def loss_fn(p):
+                    lg = cocoop.cocoop_logits(
+                        p, fz["clip"], ctask, normalize(images_u8),
+                        chunk=chunk, remat_per_image=remat,
+                    )
+                    lp = jax.nn.log_softmax(lg, -1)
+                    nll = -jnp.take_along_axis(lp, labels[:, None], -1)[:, 0]
+                    return jnp.sum(nll * mask) / jnp.sum(mask)
+
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                p, opt = sgd_update(p, g, opt, lr)
+                return p, opt, loss
+
+            fn = jax.jit(ctrain, donate_argnums=(0, 1))
+            state = dict(p=mparams, opt=sgd_init(mparams))
+            labels = jnp.asarray(rng.randint(0, args.n_cls, args.batch), jnp.int32)
+            mask = jnp.ones((args.batch,), jnp.float32)
+            lr = jnp.float32(0.002)
+
+            def run_one():
+                state["p"], state["opt"], loss = fn(
+                    state["p"], state["opt"], cfrozen, imgs, labels, mask, lr
+                )
+                return loss
+        return run_one
     if args.phase == "train":
         fn = jax.jit(train_step, donate_argnums=(0, 1))
         opt = sgd_init(prompts)
@@ -98,7 +174,11 @@ def build(args):
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--phase", choices=["train", "eval"], default="train")
+    ap.add_argument(
+        "--phase",
+        choices=["train", "eval", "cocoop-train", "cocoop-eval"],
+        default="train",
+    )
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--n-cls", type=int, default=51)
@@ -108,7 +188,9 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 4 if args.phase == "train" else 100
+        args.batch = 4 if args.phase.endswith("train") else 100
+        if args.phase == "cocoop-train":
+            args.batch = 8  # best measured train batch (BASELINE.md r3)
 
     import shutil
 
