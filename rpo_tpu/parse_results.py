@@ -139,8 +139,11 @@ def main() -> None:
                     osp.isfile(osp.join(dirpath, d, "log.txt")) for d in dirnames
                 ):
                     # non-strict: an in-progress seed dir (created, no log
-                    # yet) is skipped with a warning, not an AssertionError
-                    res = parse_dir(dirpath, args.keyword, end_signal,
+                    # yet) is skipped with a warning, not an AssertionError.
+                    # test_base/test_new are eval-only runs by construction,
+                    # so their end signal is always "=> result" — with the
+                    # train-log default every leaf would read as incomplete.
+                    res = parse_dir(dirpath, args.keyword, "=> result",
                                     args.ci95, strict=False)
                     if args.keyword in res:
                         vals.append(res[args.keyword])

@@ -82,3 +82,22 @@ def test_hmean_tolerates_in_progress_seed_dir(tmp_path):
     assert len(h_lines) == 1
     h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
     assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]
+
+
+def test_hmean_without_test_log_flag(tmp_path):
+    """--hmean must aggregate without --test-log: test_base/test_new are
+    eval-only runs whose logs end with "=> result", never the train-log
+    default "Finish training" (regression: the r3 on-TPU protocol run's
+    plain `--hmean` invocation found zero completed leaves)."""
+    root = tmp_path / "b2n"
+    _log(str(root / "test_base" / "seed1" / "log.txt"), 80.0)
+    _log(str(root / "test_new" / "seed1" / "log.txt"), 60.0)
+    proc = subprocess.run(
+        [sys.executable, "parse_test_res.py", str(root), "--hmean"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    h_lines = [l for l in proc.stdout.splitlines() if "harmonic mean" in l]
+    assert len(h_lines) == 1, proc.stdout
+    h = float(h_lines[0].split(":")[1].strip().rstrip("%"))
+    assert abs(h - 2 * 80 * 60 / 140) < 0.01, h_lines[0]
