@@ -132,7 +132,7 @@ def _decode(value: Any) -> Any:
 
 
 def _coerce(new: Any, old: Any, key: str) -> Any:
-    if old is None or new is None:
+    if old is None:
         return new
     if isinstance(old, tuple) and isinstance(new, list):
         return tuple(new)
@@ -140,18 +140,20 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
         return list(new)
     if type(new) == type(old):
         return new
-    if isinstance(old, float) and isinstance(new, int):
+    if isinstance(old, float) and isinstance(new, int) and not isinstance(new, bool):
         return float(new)
-    if isinstance(old, str):
+    if isinstance(old, str) and new is not None:
+        # the CLI literal_eval round-trip can turn a numeric-looking string
+        # back into a literal; a str default restores it
         return str(new)
-    # int default, float/str override etc.: accept when types are compatible
     if isinstance(old, bool) != isinstance(new, bool) and {type(old), type(new)} <= {
         bool,
         int,
     }:
         return type(old)(new)
-    if isinstance(old, (int, float)) and isinstance(new, (int, float)):
-        return new
+    # Everything else is a type error at the merge site (yacs semantics):
+    # a float onto an int default (e.g. BATCH_SIZE 64.5) or None onto a
+    # typed default must fail HERE, not deep in the loader/trainer.
     raise ValueError(
         f"Type mismatch for key {key}: cannot replace {type(old).__name__} "
         f"({old!r}) with {type(new).__name__} ({new!r})"

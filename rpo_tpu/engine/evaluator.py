@@ -6,7 +6,6 @@ The printed block is a public API: ``parse_test_res.py`` regex-scrapes
 """
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -27,21 +26,19 @@ class ClassificationEvaluator:
         self._total = 0
         self._y_true: List[int] = []
         self._y_pred: List[int] = []
-        self._per_class_corr: Dict[int, int] = defaultdict(int)
-        self._per_class_total: Dict[int, int] = defaultdict(int)
 
     def process(self, logits: np.ndarray, labels: np.ndarray) -> None:
-        """logits: (B, n_cls); labels: (B,) int."""
+        """logits: (B, n_cls); labels: (B,) int.
+
+        Hot path: the pipelined test() loop calls this per batch while
+        draining device transfers — only O(1) bookkeeping here; per-class
+        tallies are derived from the stored labels at evaluate() time."""
         pred = np.asarray(logits).argmax(axis=-1)
         labels = np.asarray(labels)
-        matches = (pred == labels).astype(np.int64)
-        self._correct += int(matches.sum())
+        self._correct += int((pred == labels).sum())
         self._total += int(labels.shape[0])
-        self._y_true.extend(int(x) for x in labels)
-        self._y_pred.extend(int(x) for x in pred)
-        for lab, m in zip(labels, matches):
-            self._per_class_total[int(lab)] += 1
-            self._per_class_corr[int(lab)] += int(m)
+        self._y_true.extend(labels.tolist())
+        self._y_pred.extend(pred.tolist())
 
     def _macro_f1(self) -> float:
         y_true = np.asarray(self._y_true)
@@ -76,16 +73,21 @@ class ClassificationEvaluator:
         print(f"* accuracy: {acc:.1f}%")
         print(f"* error: {err:.1f}%")
         print(f"* macro_f1: {macro_f1:.1f}%")
-        if self.per_class and self.classnames is not None:
+        if self.per_class and self._y_true:
+            y_true = np.asarray(self._y_true)
+            y_pred = np.asarray(self._y_pred)
             print("=> per-class result")
             accs = []
-            for lab in sorted(self._per_class_total):
-                total = self._per_class_total[lab]
-                correct = self._per_class_corr[lab]
+            for lab in np.unique(y_true).tolist():
+                sel = y_true == lab
+                total = int(sel.sum())
+                correct = int((y_pred[sel] == lab).sum())
                 pc_acc = 100.0 * correct / max(1, total)
                 accs.append(pc_acc)
                 name = (
-                    self.classnames[lab] if lab < len(self.classnames) else str(lab)
+                    self.classnames[lab]
+                    if self.classnames is not None and lab < len(self.classnames)
+                    else str(lab)
                 )
                 print(
                     f"* class: {lab} ({name})\t"
@@ -93,17 +95,35 @@ class ClassificationEvaluator:
                     f"correct: {correct:,}\t"
                     f"acc: {pc_acc:.1f}%"
                 )
-            print(f"* average: {np.mean(accs):.1f}%")
+            mean_acc = float(np.mean(accs)) if accs else 0.0
+            print(f"* average: {mean_acc:.1f}%")
+            # Dassl stores the per-class mean under this key
+            results["perclass_accuracy"] = mean_acc
         if self.compute_cmat and self._y_true:
             import os
 
             y_true = np.asarray(self._y_true)
             y_pred = np.asarray(self._y_pred)
-            n = int(max(y_true.max(), y_pred.max())) + 1
-            cmat = np.zeros((n, n), dtype=np.int64)
-            np.add.at(cmat, (y_true, y_pred), 1)
+            # Dassl saves sklearn confusion_matrix(y_true, y_pred,
+            # normalize="true") to <output>/cmat.pt: rows indexed by the
+            # sorted union of observed labels, each row normalized by its
+            # ground-truth count (rows for predicted-only labels are NaN,
+            # matching sklearn's 0/0).
+            labels = np.unique(np.concatenate([y_true, y_pred]))
+            pos = {int(lab): i for i, lab in enumerate(labels)}
+            n = len(labels)
+            cmat = np.zeros((n, n), dtype=np.float64)
+            np.add.at(
+                cmat,
+                ([pos[int(t)] for t in y_true], [pos[int(p)] for p in y_pred]),
+                1.0,
+            )
+            with np.errstate(invalid="ignore"):
+                cmat = cmat / cmat.sum(axis=1, keepdims=True)
             os.makedirs(self.output_dir or ".", exist_ok=True)
-            path = os.path.join(self.output_dir or ".", "cmat.npy")
-            np.save(path, cmat)
+            path = os.path.join(self.output_dir or ".", "cmat.pt")
+            import torch
+
+            torch.save(torch.from_numpy(cmat), path)
             print(f"Confusion matrix is saved to {path}")
         return results

@@ -74,27 +74,43 @@ class ZeroshotCLIP(TrainerBase):
 
         ccfg, normalize = self.clip_cfg, self._normalize
 
-        def eval_step(clip_params, text_f, images_u8):
+        def eval_step(_params, frozen, text_f, images_u8):
             # fused Pallas attention on the forward-only image tower, as
             # in CLIPMethodTrainer._install_steps (thread-local trace flag)
             from rpo_tpu.ops.attention import pallas_attention_scope
 
             with pallas_attention_scope(True):
                 imf = encode_image(
-                    clip_params, ccfg, normalize(images_u8)
+                    frozen["clip"], ccfg, normalize(images_u8)
                 ).astype(jnp.float32)
             imf = imf / jnp.linalg.norm(imf, axis=-1, keepdims=True)
-            scale = jnp.exp(clip_params["logit_scale"].astype(jnp.float32))
+            scale = jnp.exp(frozen["clip"]["logit_scale"].astype(jnp.float32))
             return scale * imf @ text_f.T
 
-        self._eval_step = jax.jit(eval_step)
+        # Same mesh routing as CLIPMethodTrainer._install_steps: on a
+        # multi-device host, eval runs per-device-local under shard_map
+        # (the data manager already pads test batches to a device
+        # multiple), so zero-shot sweeps scale like every other method.
+        self._frozen = {"clip": self.clip_params}
+        if jax.device_count() > 1:
+            from rpo_tpu.parallel.dp import make_mesh, shard_eval_step_local
+
+            print(
+                f"Multiple devices detected (n={jax.device_count()}), "
+                "data-parallel mesh over ICI"
+            )
+            self.mesh = make_mesh()
+            self._eval_step = shard_eval_step_local(eval_step, self.mesh)
+        else:
+            self.mesh = None
+            self._eval_step = jax.jit(eval_step)
 
     def forward_backward(self, batch):
         raise RuntimeError("ZeroshotCLIP is evaluation-only (use --eval-only)")
 
     def model_inference_async(self, images: np.ndarray):
         return self._eval_step(
-            self.clip_params, self.text_features, jnp.asarray(images)
+            {}, self._frozen, self.text_features, jnp.asarray(images)
         )
 
     def model_inference(self, images: np.ndarray) -> np.ndarray:

@@ -66,3 +66,39 @@ def test_cfgnode_clone_freeze():
     c2.defrost()
     c2.SEED = 7
     assert cfg.SEED == -1  # deep copy
+
+
+def test_cfg_type_mismatch_raises_at_merge():
+    """yacs semantics: a float onto an int default and None onto a str
+    default must fail at the merge site, not deep in the trainer (the
+    lenient coercions masked e.g. BATCH_SIZE 64.5 until the loader)."""
+    import pytest
+
+    from rpo_tpu.engine.config import get_cfg_default
+
+    cfg = get_cfg_default()
+    with pytest.raises(ValueError, match="Type mismatch"):
+        cfg.merge_from_list(["DATALOADER.TRAIN_X.BATCH_SIZE", "64.5"])
+    with pytest.raises(ValueError, match="Type mismatch"):
+        cfg.merge_from_list(["TRAINER.COOP.CTX_INIT", "None"])
+    # still-legal coercions: int onto float, int-literal onto str default
+    cfg.merge_from_list(["OPTIM.LR", "1", "MODEL.BACKBONE.NAME", "16"])
+    assert cfg.OPTIM.LR == 1.0 and cfg.MODEL.BACKBONE.NAME == "16"
+
+
+def test_evaluator_perclass_key_and_no_classnames(capsys):
+    """PER_CLASS_RESULT stores Dassl's perclass_accuracy key and works
+    without classnames (label ids used as names)."""
+    import numpy as np
+
+    from rpo_tpu.engine.config import get_cfg_default
+    from rpo_tpu.engine.evaluator import ClassificationEvaluator
+
+    cfg = get_cfg_default()
+    cfg.TEST.PER_CLASS_RESULT = True
+    ev = ClassificationEvaluator(cfg, classnames=None)
+    ev.process(np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]), np.array([0, 1, 1]))
+    res = ev.evaluate()
+    out = capsys.readouterr().out
+    assert "=> per-class result" in out
+    assert res["perclass_accuracy"] == 75.0  # class 0: 100%, class 1: 50%

@@ -59,5 +59,8 @@ def test_confusion_matrix_saved(tmp_path):
     ev = ClassificationEvaluator(cfg, classnames=["a", "b"])
     ev.process(np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]), np.array([0, 1, 1]))
     ev.evaluate()
-    cmat = np.load(tmp_path / "cmat.npy")
-    np.testing.assert_array_equal(cmat, [[1, 0], [1, 1]])
+    import torch
+
+    # Dassl artifact: cmat.pt, sklearn confusion_matrix(normalize="true")
+    cmat = torch.load(tmp_path / "cmat.pt").numpy()
+    np.testing.assert_allclose(cmat, [[1.0, 0.0], [0.5, 0.5]])
