@@ -66,9 +66,11 @@ class BatchLoader:
         if imgs is None:
             # Augmentation randomness is drawn HERE, sequentially, so that
             # seeded runs are deterministic; the pool only decodes/resizes.
-            has_plan = hasattr(self.transform, "make_plan")
+            # Eval batches draw no plans (make_plan(train=False) is None
+            # by contract) and never hit the native TRAIN kernel.
+            has_plan = self.train and hasattr(self.transform, "make_plan")
             plans = [
-                self.transform.make_plan(it.impath, self.train) if has_plan else None
+                self.transform.make_plan(it.impath, True) if has_plan else None
                 for it in batch_items
             ]
             imgs = (
@@ -108,13 +110,19 @@ class BatchLoader:
         crop plan (and padding rows) get the full frame."""
         tp = self.transform
         S = tp.device_resize
+        # one header read per image: the size feeds both the RRC plan and
+        # the exact-source check (make_plan would otherwise re-read it)
+        sizes = [tp.image_size(it.impath) for it in batch_items]
         # randomness drawn sequentially, exactly like the host path
-        plans = [tp.make_plan(it.impath, True) for it in batch_items]
+        plans = [
+            tp.make_plan(it.impath, True, size=sz)
+            for it, sz in zip(batch_items, sizes)
+        ]
         # RRC boxes are sampled in ORIGINAL coordinates (transforms.py
         # make_plan): exact-(S, S) sources pass the box to the device;
         # any other size gets the crop host-applied during decode so the
         # augmentation still covers the full frame
-        exact = [tp.image_size(it.impath) == (S, S) for it in batch_items]
+        exact = [sz == (S, S) for sz in sizes]
         imgs = None
         if all(exact):
             # decode-to-source via the C++ batch kernel when possible (at
@@ -302,7 +310,9 @@ class BatchLoader:
             chunks.pop()
         if not chunks:
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # maxsize=0 would mean UNBOUNDED (the whole epoch resident), not
+        # "no prefetch" — clamp to the minimum real bound
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
         abandoned = threading.Event()
 

@@ -164,7 +164,7 @@ class TransformPipeline:
         with Image.open(impath) as img:
             return img.size
 
-    def make_plan(self, impath: str, train: bool):
+    def make_plan(self, impath: str, train: bool, size=None):
         """Draw ALL augmentation randomness for one image, sequentially.
 
         Must be called from a single thread in deterministic item order:
@@ -174,7 +174,9 @@ class TransformPipeline:
 
         Plan: (box_or_None, flip).  Dassl applies random_flip
         independently of random_resized_crop, so flip is drawn whenever
-        enabled even without RRC.
+        enabled even without RRC.  ``size`` (w, h) skips the per-image
+        header read when the caller already knows it (the RNG draw order
+        is unchanged).
         """
         if not train or not (self.use_rrc or self.use_flip):
             return None
@@ -188,7 +190,7 @@ class TransformPipeline:
             # other size the loader host-applies the box during decode
             # (raw_source(box=...)) — a center-cropped source would never
             # see the edge content of non-square images.
-            w, h = self.image_size(impath)
+            w, h = size if size is not None else self.image_size(impath)
             box = sample_rrc_box(w, h, self.scale)
         flip = bool(self.use_flip and random.random() < 0.5)
         return (box, flip)

@@ -51,9 +51,15 @@ def _load_checkpoint_file(path: str) -> Dict[str, Any]:
     """Load a checkpoint: our pickled numpy payloads, or a torch-format
     checkpoint from the reference framework (e.g. the released rpo.zip
     prompt checkpoints, rpo.py:333-336) — tensors convert to numpy."""
-    import zipfile
-
-    if zipfile.is_zipfile(path):  # torch >=1.6 save format
+    # Route by the LEADING zip local-header magic, not zipfile.is_zipfile:
+    # the latter scans the trailing 64KB for the EOCD signature, which a
+    # raw fp32 momentum payload can contain by chance (~1 in 70k
+    # checkpoints would misroute to torch.load and crash resume).  A real
+    # torch>=1.6 archive always starts with PK\x03\x04; our pickles start
+    # with the \x80 protocol opcode.
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"PK\x03\x04":  # torch >=1.6 save format
         import torch
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -324,7 +330,7 @@ class TrainerBase:
         meter = MetricMeter()
         loader = self.dm.train_loader_x
         self.num_batches = len(loader)
-        print_freq = int(self.cfg.TRAIN.PRINT_FREQ)
+        print_freq = max(1, int(self.cfg.TRAIN.PRINT_FREQ))
         group_size = max(1, int(self.cfg.TRAIN.STEPS_PER_DISPATCH))
         use_multi = group_size > 1 and hasattr(self, "forward_backward_multi")
         t_start = time.time()

@@ -426,11 +426,53 @@ class CLIPMethodTrainer(TrainerBase):
         return self.params
 
     def set_ckpt_state(self, name: str, state) -> None:
+        """Install checkpointed trainable state, validated against the
+        method's own pytree (Dassl's strict=False semantics: stale /
+        unexpected keys are dropped with a warning, missing keys keep
+        their current init, but a SHAPE mismatch fails here at the load
+        site, not later inside a jitted retrace)."""
+        state = dict(state)  # never mutate the caller's dict
         for stale in ("token_prefix", "token_suffix"):
             state.pop(stale, None)
-        self.params = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32), dict(state)
-        )
+        if getattr(self, "params", None) is None:
+            # bare/unbuilt trainer (layout-remap harnesses): nothing to
+            # validate against — install as-is
+            self.params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), state
+            )
+            self.opt_state = sgd_init(self.params)
+            self._text_f_cache = None
+            return
+        unexpected = sorted(k for k in state if k not in self.params)
+        missing = sorted(k for k in self.params if k not in state)
+        if unexpected:
+            print(f"WARNING: ignoring unexpected checkpoint keys for "
+                  f"{name}: {unexpected}")
+        if missing:
+            print(f"WARNING: checkpoint for {name} missing keys "
+                  f"{missing}; keeping their current values")
+
+        def _install(key, old, new):
+            arr = jnp.asarray(new, jnp.float32)
+            if hasattr(old, "shape") and tuple(arr.shape) != tuple(old.shape):
+                raise ValueError(
+                    f"checkpoint shape mismatch for {name}.{key}: got "
+                    f"{tuple(arr.shape)}, expected {tuple(old.shape)} — "
+                    "is this a checkpoint from a different method/backbone?"
+                )
+            return arr
+
+        merged = {}
+        for k, old in self.params.items():
+            if k not in state:
+                merged[k] = old
+            elif isinstance(old, dict):  # nested pytree (e.g. meta_net)
+                merged[k] = jax.tree_util.tree_map(
+                    lambda o, n, _k=k: _install(_k, o, n), old, state[k]
+                )
+            else:
+                merged[k] = _install(k, old, state[k])
+        self.params = merged
         self.opt_state = sgd_init(self.params)
         self._text_f_cache = None
 

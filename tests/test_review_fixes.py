@@ -278,3 +278,79 @@ def test_prewarm_plan_matches_engine_dispatch():
             expect = (full_groups > 0, singles > 0 or full_groups == 0)
             got = prewarm_plan(group, num_batches)
             assert got == expect, (group, num_batches, got, expect)
+
+
+def test_checkpoint_pickle_with_zip_tail_signature(tmp_path):
+    """_load_checkpoint_file must route by the LEADING torch-zip magic:
+    a native pickle whose trailing bytes happen to contain a valid EOCD
+    record (as raw fp32 momentum bytes can, ~1 in 70k checkpoints) still
+    loads via pickle (zipfile.is_zipfile scans the tail and would have
+    misrouted it to torch.load)."""
+    import pickle
+    import zipfile
+
+    import numpy as np
+
+    from rpo_tpu.engine.trainer import _load_checkpoint_file
+
+    path = str(tmp_path / "model.pth.tar-5")
+    payload = {"state_dict": {"w": np.ones((2, 2), np.float32)}, "epoch": 5}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+        # a structurally valid, empty end-of-central-directory record —
+        # pickle.load stops at the STOP opcode and ignores trailing bytes
+        f.write(b"PK\x05\x06" + b"\x00" * 16 + b"\x00\x00")
+    assert zipfile.is_zipfile(path)  # the old router's trap
+    out = _load_checkpoint_file(path)
+    assert out["epoch"] == 5
+    np.testing.assert_array_equal(out["state_dict"]["w"], np.ones((2, 2)))
+
+
+def test_set_ckpt_state_validation():
+    """Checkpoints are validated against the method pytree: unexpected
+    keys are dropped with a warning, missing keys keep their init, and a
+    shape mismatch fails AT THE LOAD SITE."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from rpo_tpu.methods.linear_probe import LP
+
+    tr = object.__new__(LP)
+    tr.params = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    # unexpected + missing keys: warn, keep init for the missing one
+    tr.set_ckpt_state("lp_layer", {"w": np.ones((4, 4)), "junk": np.ones(3)})
+    assert "junk" not in tr.params
+    np.testing.assert_array_equal(np.asarray(tr.params["w"]), np.ones((4, 4)))
+    np.testing.assert_array_equal(np.asarray(tr.params["b"]), np.zeros(4))
+    # wrong shape: a checkpoint from another backbone fails loudly
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tr.set_ckpt_state("lp_layer", {"w": np.ones((8, 8)), "b": np.zeros(4)})
+
+
+def test_loader_prefetch_zero_is_bounded(tmp_path):
+    """prefetch=0 must not mean queue.Queue(maxsize=0) == unbounded (the
+    whole epoch resident in RAM); it clamps to the minimum real bound and
+    the loader still serves every batch."""
+    import numpy as np
+    from PIL import Image
+
+    from rpo_tpu.data.datum import Datum
+    from rpo_tpu.data.loader import BatchLoader
+    from rpo_tpu.data.transforms import TransformPipeline
+    from rpo_tpu.engine.config import get_cfg_default
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(p)
+        paths.append(p)
+    cfg = get_cfg_default()
+    cfg.INPUT.SIZE = (32, 32)
+    tp = TransformPipeline(cfg.INPUT)
+    items = [Datum(impath=p, label=i) for i, p in enumerate(paths)]
+    loader = BatchLoader(items, tp, batch_size=2, train=False, shuffle=False,
+                         num_workers=1, prefetch=0)
+    batches = list(loader)
+    assert sum(b["n"] for b in batches) == len(items)
