@@ -145,6 +145,14 @@ class TransformPipeline:
         # source size; the resize to self.size runs on device (see
         # ops/preprocess.py and CLIPMethodTrainer.build_model)
         self.device_resize = int(getattr(cfg_input, "DEVICE_RESIZE", 0))
+        if self.device_resize and self.interpolation != "bicubic":
+            # the device resample ops implement bicubic only; silently
+            # mixing kernels across host/device paths would skew accuracy
+            raise ValueError(
+                "INPUT.DEVICE_RESIZE requires INPUT.INTERPOLATION "
+                f"'bicubic' (got {self.interpolation!r}); all CLIP "
+                "protocol configs set bicubic"
+            )
 
     def image_size(self, impath: str) -> Tuple[int, int]:
         """(width, height) from the header only (no full decode)."""
@@ -312,8 +320,9 @@ def device_normalize_fn(mean: Iterable[float], std: Iterable[float], dtype=None)
     normalized images are materialized (e.g. cached feature pipelines)."""
     import jax.numpy as jnp
 
-    mean_a = jnp.asarray(np.asarray(mean, np.float32) * 255.0)
-    std_a = jnp.asarray(np.asarray(std, np.float32) * 255.0)
+    from rpo_tpu.ops.preprocess import _mean_std_u8
+
+    mean_a, std_a = _mean_std_u8(mean, std)
 
     def normalize(images_u8):
         out = (images_u8.astype(jnp.float32) - mean_a) / std_a

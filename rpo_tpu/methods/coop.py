@@ -27,7 +27,7 @@ from rpo_tpu.models.clip import CLIPConfig, causal_mask, encode_image
 from rpo_tpu.models.clip.layers import layer_norm
 from rpo_tpu.models.clip.model import text_transformer_run
 from rpo_tpu.tokenizer import get_tokenizer, tokenize
-from rpo_tpu.tokenizer.bpe import eot_trim
+from rpo_tpu.tokenizer.bpe import eot_len
 
 Params = Dict[str, jnp.ndarray]
 
@@ -112,7 +112,7 @@ def make_task(
     ctx_mask, ctx_idx, emb_idx = build_position_plan(
         n_ctx, name_lens, position, cfg.context_length
     )
-    text_len = min(cfg.context_length, eot_trim(tokens).shape[1])
+    text_len = eot_len(tokens)
     return CoOpTask(
         cfg=cfg,
         n_cls=len(classnames),

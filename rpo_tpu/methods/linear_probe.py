@@ -54,9 +54,16 @@ class LP(CLIPMethodTrainer):
             cfg.TRAINER.LP.PROMPT.format(cls_name=c) for c in self.dm.classnames
         ]
         tokens = jnp.asarray(eot_trim(tokenize(prompts)))
-        text_f = encode_text(self.clip_params, self.clip_cfg, tokens).astype(jnp.float32)
-        text_f = text_f / jnp.linalg.norm(text_f, axis=-1, keepdims=True)
         ccfg = self.clip_cfg
+
+        # one jitted call (clip params as an ARGUMENT, never a closure —
+        # CLAUDE.md): eager per-op dispatch of the 12-layer tower costs
+        # hundreds of host round-trips on a remote-attached TPU
+        def _encode(clip_params, toks):
+            tf = encode_text(clip_params, ccfg, toks).astype(jnp.float32)
+            return tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+
+        text_f = jax.jit(_encode)(self.clip_params, tokens)
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params, "text_f": text_f}
 

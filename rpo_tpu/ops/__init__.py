@@ -7,15 +7,15 @@ from .attention import (
     use_pallas_attention,
 )
 from .preprocess import (
-    batch_crop_flip_normalize,
     device_eval_preprocess,
+    device_train_preprocess,
     resize_bicubic,
 )
 
 __all__ = [
     "NEG_INF",
-    "batch_crop_flip_normalize",
     "device_eval_preprocess",
+    "device_train_preprocess",
     "dot_product_attention",
     "multihead_attention",
     "pallas_attention_scope",

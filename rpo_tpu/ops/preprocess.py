@@ -10,11 +10,15 @@ covers the device-side pieces:
   - ``resize_bicubic``: PIL-compatible antialiased bicubic resize as two
     separable weight-matrix contractions — resize as MXU matmuls.  For
     fixed-size sources (e.g. EuroSAT 64x64, or a decode-once cache) the
-    whole resize->crop->normalize chain runs on device under jit.
-  - ``batch_crop_flip_normalize``: per-image dynamic crop + horizontal
-    flip + normalize (train-path augmentation executed on device; the
-    random plan — offsets/flips — is sampled host-side to preserve the
-    reference's RNG discipline).
+    whole resize->crop->normalize chain runs on device under jit
+    (``device_eval_preprocess``).
+  - ``device_train_preprocess``: the train-path augmentation executed on
+    device (RandomResizedCrop from host-sampled boxes + flip + normalize;
+    the random plan is sampled host-side to preserve the reference's RNG
+    discipline).
+
+Only bicubic resampling is implemented; the consumers of
+INPUT.DEVICE_RESIZE validate INPUT.INTERPOLATION accordingly.
 """
 from __future__ import annotations
 
@@ -25,11 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
-    x = np.abs(x)
-    out = np.where(x < 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0, 0.0)
-    out = np.where((x >= 1.0) & (x < 2.0), (((x - 5.0) * x + 8.0) * x - 4.0) * a, out)
+def _cubic(x, a: float = -0.5, xp=np):
+    """Catmull-Rom bicubic kernel; one copy of the coefficients shared by
+    the static host weights (xp=np) and the traced device weights
+    (xp=jnp)."""
+    x = xp.abs(x)
+    out = xp.where(x < 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0, 0.0)
+    out = xp.where((x >= 1.0) & (x < 2.0), (((x - 5.0) * x + 8.0) * x - 4.0) * a, out)
     return out
+
+
+def _mean_std_u8(mean: Iterable[float], std: Iterable[float]):
+    """Normalization constants scaled to uint8 pixel range, as device
+    arrays — the single definition all device preprocess paths share."""
+    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
+    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+    return mean_a, std_a
 
 
 def resize_weights(in_size: int, out_size: int) -> np.ndarray:
@@ -56,7 +71,9 @@ def resize_bicubic(
 
     ``quantize`` rounds+clamps to uint8 range after each pass like PIL
     does (clips the cubic overshoot between passes — required for close
-    agreement with the host path on high-frequency content)."""
+    agreement with the host path on high-frequency content; jnp.round is
+    half-to-even where PIL truncates +0.5, so exact-.5 intermediates may
+    differ by one u8 step — within the documented 1-2 LSB contract)."""
     B, H, W, C = images.shape
     wv = jnp.asarray(resize_weights(H, out_h))
     wh = jnp.asarray(resize_weights(W, out_w))
@@ -89,33 +106,8 @@ def device_eval_preprocess(
     top = int(round((rh - size) / 2.0))
     left = int(round((rw - size) / 2.0))
     x = x[:, top : top + size, left : left + size, :]
-    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
-    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+    mean_a, std_a = _mean_std_u8(mean, std)
     return (x - mean_a) / std_a
-
-
-def batch_crop_flip_normalize(
-    images_u8: jax.Array,
-    crop_tops: jax.Array,
-    crop_lefts: jax.Array,
-    flips: jax.Array,
-    size: int,
-    mean: Iterable[float],
-    std: Iterable[float],
-) -> jax.Array:
-    """Per-image dynamic (size x size) crop + optional horizontal flip +
-    normalize, vmapped over the batch; offsets/flips are host-sampled."""
-    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
-    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
-
-    def one(img, top, left, flip):
-        crop = jax.lax.dynamic_slice(
-            img, (top, left, jnp.int32(0)), (size, size, 3)
-        ).astype(jnp.float32)
-        crop = jax.lax.cond(flip > 0, lambda c: c[:, ::-1, :], lambda c: c, crop)
-        return (crop - mean_a) / std_a
-
-    return jax.vmap(one)(images_u8, crop_tops, crop_lefts, flips)
 
 
 def _traced_resize_weights(src: int, out: int, start, length) -> jax.Array:
@@ -141,16 +133,10 @@ def _traced_resize_weights(src: int, out: int, start, length) -> jax.Array:
     # int() truncates toward zero (resize_weights uses python int())
     xmin = jnp.maximum(0.0, jnp.trunc(center - support + 0.5))
     xmax = jnp.minimum(float(src), jnp.trunc(center + support + 0.5))
-    w = _cubic_jnp((j - center + 0.5) / filterscale)
+    w = _cubic((j - center + 0.5) / filterscale, xp=jnp)
     w = jnp.where((j >= xmin) & (j < xmax), w, 0.0)
     norm = jnp.sum(w, axis=1, keepdims=True)
     return w / jnp.where(norm == 0.0, 1.0, norm)
-
-
-def _cubic_jnp(x: jax.Array, a: float = -0.5) -> jax.Array:
-    x = jnp.abs(x)
-    out = jnp.where(x < 1.0, ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0, 0.0)
-    return jnp.where((x >= 1.0) & (x < 2.0), (((x - 5.0) * x + 8.0) * x - 4.0) * a, out)
 
 
 def device_train_preprocess(
@@ -176,8 +162,7 @@ def device_train_preprocess(
     transform order (random_resized_crop then random_flip).
     """
     B, S, _, _ = images_u8.shape
-    mean_a = jnp.asarray(np.asarray(list(mean), np.float32) * 255.0)
-    std_a = jnp.asarray(np.asarray(list(std), np.float32) * 255.0)
+    mean_a, std_a = _mean_std_u8(mean, std)
 
     def one(img, box, flip):
         left, top, cw, ch = box[0], box[1], box[2], box[3]

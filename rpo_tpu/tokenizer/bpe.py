@@ -211,13 +211,19 @@ def tokenize(
     return out
 
 
+def eot_len(tokens: np.ndarray, multiple: int = 8) -> int:
+    """Truncated sequence length: max(EOT position)+1 rounded up to a
+    sublane ``multiple``, clamped to the full length — the single
+    definition of the text-tower truncation rule (see eot_trim)."""
+    L = int(tokens.argmax(axis=-1).max()) + 1
+    return min(tokens.shape[1], -(-L // multiple) * multiple)
+
+
 def eot_trim(tokens: np.ndarray, multiple: int = 8) -> np.ndarray:
     """Trim padded token rows past the longest EOT (host-side).
 
-    Returns ``tokens[:, :L]`` with L = max(EOT position)+1 rounded up to
-    a sublane ``multiple``.  Exact for causal-mask encoders that gather
-    only EOT positions (see models/clip/model.py::encode_text); the
-    reference always runs the full 77 (clip/model.py:354)."""
-    L = int(tokens.argmax(axis=-1).max()) + 1
-    L = min(tokens.shape[1], -(-L // multiple) * multiple)
-    return tokens[:, :L]
+    Returns ``tokens[:, :L]`` with L = eot_len(tokens, multiple).  Exact
+    for causal-mask encoders that gather only EOT positions (see
+    models/clip/model.py::encode_text); the reference always runs the
+    full 77 (clip/model.py:354)."""
+    return tokens[:, : eot_len(tokens, multiple)]

@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 from rpo_tpu.data.transforms import center_crop, resize_shorter
 from rpo_tpu.ops.preprocess import (
-    batch_crop_flip_normalize,
     device_eval_preprocess,
     resize_bicubic,
 )
@@ -43,22 +42,3 @@ def test_device_eval_preprocess_matches_host():
         assert np.abs(out[i] - ref).max() < 2.01 / (min(STD) * 255)
 
 
-def test_batch_crop_flip_normalize():
-    rng = np.random.RandomState(2)
-    arr = rng.randint(0, 256, size=(3, 50, 60, 3), dtype=np.uint8)
-    tops = jnp.asarray([0, 5, 10], jnp.int32)
-    lefts = jnp.asarray([0, 7, 20], jnp.int32)
-    flips = jnp.asarray([0, 1, 0], jnp.int32)
-    out = np.asarray(
-        jax.jit(
-            lambda x, t, l, f: batch_crop_flip_normalize(x, t, l, f, 32, MEAN, STD)
-        )(jnp.asarray(arr), tops, lefts, flips)
-    )
-    for i in range(3):
-        crop = arr[i, tops[i] : tops[i] + 32, lefts[i] : lefts[i] + 32].astype(
-            np.float32
-        )
-        if flips[i]:
-            crop = crop[:, ::-1]
-        ref = (crop - np.asarray(MEAN) * 255) / (np.asarray(STD) * 255)
-        np.testing.assert_allclose(out[i], ref, rtol=1e-5, atol=1e-5)
