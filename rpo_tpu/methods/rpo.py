@@ -41,7 +41,7 @@ from rpo_tpu.models.clip.model import (
     vision_embed,
 )
 from rpo_tpu.ops.attention import NEG_INF
-from rpo_tpu.tokenizer import tokenize
+from rpo_tpu.tokenizer import EOT_TOKEN, tokenize
 
 Params = Dict[str, Any]
 
@@ -64,11 +64,9 @@ def build_text_mask(len_prompts: np.ndarray, context_length: int = 77) -> np.nda
     rows = np.arange(L)[:, None]
     cols = np.arange(L)[None, :]
     causal = cols > rows  # (L, L)
-    masks = []
-    for idx in np.asarray(len_prompts):
-        blocked = causal | (cols >= int(idx))
-        masks.append(np.where(blocked, NEG_INF, 0.0))
-    return np.stack(masks).astype(np.float32)[:, None]
+    idx = np.asarray(len_prompts).reshape(-1, 1, 1)  # (n_cls, 1, 1)
+    blocked = causal[None] | (cols[None] >= idx)  # (n_cls, L, L)
+    return np.where(blocked, NEG_INF, 0.0).astype(np.float32)[:, None]
 
 
 def build_prompt_col_mask(len_prompts: np.ndarray, kv_len: int) -> np.ndarray:
@@ -123,9 +121,13 @@ def make_task(cfg: CLIPConfig, classnames, prompt_template: str, K: int) -> RPOT
     prompt_template uses '_' as the classname slot, e.g. "a photo of a _."
     (cfg.DATASET.PROMPT in every reference dataset yaml).
     """
-    assert K >= 1, "K should be bigger than 0"
+    if K < 1:
+        raise ValueError("K should be bigger than 0")  # rpo.py:47 (assert)
     prompts = [prompt_template.replace("_", c) for c in classnames]
-    tokens = tokenize(prompts)
+    # tokenize at the MODEL's context length: convert.py infers it from
+    # positional_embedding, so a non-77 checkpoint must shape every
+    # length-dependent artifact below consistently
+    tokens = tokenize(prompts, cfg.context_length)
     len_prompts = tokens.argmax(axis=-1).astype(np.int32) + 1
     if int((len_prompts + K).max()) > cfg.context_length:
         raise ValueError(
@@ -157,7 +159,12 @@ def init_prompts(key: jax.Array, clip_params: Params, cfg: CLIPConfig, K: int) -
     """EOT/CLS embedding + 0.1 * L2-normalized Gaussian noise
     (rpo.py:60-88).  Returned in float32 (training master copy)."""
     kt, kv = jax.random.split(key)
-    eot_emb = clip_params["text"]["token_embedding"][49407].astype(jnp.float32)
+    vocab = clip_params["text"]["token_embedding"].shape[0]
+    if EOT_TOKEN >= vocab:
+        # jnp indexing CLAMPS out-of-bounds: a trimmed-vocab checkpoint
+        # would silently init from an arbitrary row without this check
+        raise ValueError(f"EOT token {EOT_TOKEN} out of vocab ({vocab})")
+    eot_emb = clip_params["text"]["token_embedding"][EOT_TOKEN].astype(jnp.float32)
     tn = jax.random.normal(kt, (K, cfg.text_width), jnp.float32)
     tn = tn / jnp.linalg.norm(tn, axis=-1, keepdims=True)
     text_prompt = eot_emb[None, :] + 0.1 * tn

@@ -50,7 +50,12 @@ def _flag() -> bool:
 
 
 def set_pallas_attention(enabled: bool) -> None:
-    """Set the CALLING THREAD's default for the Pallas path."""
+    """Set the CALLING THREAD's default for the Pallas path.
+
+    Like the scope, a no-op when $RPO_TPU_PALLAS_ATTENTION explicitly
+    forces the path — the env override always wins."""
+    if _ENV in ("0", "1"):
+        return
     _TLS.use_pallas = enabled
 
 
@@ -101,6 +106,9 @@ def dot_product_attention(
         if (
             q.shape[-2] == k.shape[-2]
             and bias.shape[-2] == q.shape[-2]
+            and bias.shape[-1] == k.shape[-2]  # a column-broadcast bias
+            # (e.g. (B,1,L,1)) is legal for the XLA path but the kernel's
+            # BlockSpec assumes a full (., ., L, L) bias array
             and bias.shape[1] == 1  # the kernel's bias block is pinned to
             # head 0 — a per-head bias must take the XLA path, not be
             # silently truncated to one head's bias for all heads

@@ -31,25 +31,32 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[:, 0]  # (G, L, D)
-    k = k_ref[:, 0]
-    v = v_ref[:, 0]
-    bias = bias_ref[:, 0]  # (G|1, L, L) float32 — broadcasts over G when shared
+def _softmax_attend(q, k, v, scale, bias=None):
+    """ONE copy of the fused kernel-body math — QK^T -> (+bias) -> f32
+    softmax -> @V on (G, L*, D) blocks — shared by every forward kernel
+    variant (masked, rect, each half of the paired kernel), mirroring
+    _attention_bwd_math on the backward side."""
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale + bias
+    s = s * scale
+    if bias is not None:
+        s = s + bias
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     w = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
+    return jax.lax.dot_general(
         w.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    # bias block (G|1, L, L) float32 — broadcasts over G when shared
+    o = _softmax_attend(q_ref[:, 0], k_ref[:, 0], v_ref[:, 0], scale, bias_ref[:, 0])
     o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
@@ -60,23 +67,7 @@ def _rect_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     a group of G batch elements (batched dot_general): one-(b,h)-per-
     program launches thousands of tiny programs whose DMA/launch overhead
     dominates (measured 1.5x slower at the RPO eval shape)."""
-    q = q_ref[:, 0]  # (G, Lq, D)
-    k = k_ref[:, 0]  # (G, Lk, D)
-    v = v_ref[:, 0]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        w.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
+    o = _softmax_attend(q_ref[:, 0], k_ref[:, 0], v_ref[:, 0], scale)
     o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
@@ -96,6 +87,11 @@ def _parallel_grid_params() -> dict:
         return {}
 
 
+def _vmem_kw() -> dict:
+    """BlockSpec memory-space kwargs (VMEM where pltpu exists)."""
+    return {"memory_space": pltpu.VMEM} if _HAS_PLTPU else {}
+
+
 def _batch_group(B: int, limit: int = 10, itemsize: int = 2) -> int:
     """Largest divisor of B not exceeding `limit` (VMEM headroom at the
     RPO eval shape caps the per-program group around 10 in bf16).  The
@@ -112,8 +108,7 @@ def _fwd_rect(q, k, v, interpret=False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     G = _batch_group(B, itemsize=q.dtype.itemsize)
-    memspace = pltpu.VMEM if _HAS_PLTPU else None
-    kw = {"memory_space": memspace} if memspace is not None else {}
+    kw = _vmem_kw()
     q_spec = pl.BlockSpec((G, 1, Lq, D), lambda b, h: (b, h, 0, 0), **kw)
     kv_spec = pl.BlockSpec((G, 1, Lk, D), lambda b, h: (b, h, 0, 0), **kw)
     return pl.pallas_call(
@@ -179,27 +174,15 @@ def _rect_pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, half):
     q = q_ref[:, 0]  # (G, Lq, 2*half)
     k = k_ref[:, 0]  # (G, Lk, 2*half)
     v = v_ref[:, 0]
-    outs = []
-    for h in (0, 1):
-        qh = q[:, :, h * half : (h + 1) * half]
-        kh = k[:, :, h * half : (h + 1) * half]
-        vh = v[:, :, h * half : (h + 1) * half]
-        s = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+    outs = [
+        _softmax_attend(
+            q[:, :, h * half : (h + 1) * half],
+            k[:, :, h * half : (h + 1) * half],
+            v[:, :, h * half : (h + 1) * half],
+            scale,
         )
-        s = s * scale
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                w.astype(vh.dtype), vh,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
+        for h in (0, 1)
+    ]
     o_ref[:, 0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -207,8 +190,7 @@ def _fwd_rect_paired(q2, k2, v2, half, interpret=False):
     B, H2, Lq, D2 = q2.shape
     Lk = k2.shape[2]
     G = _batch_group(B, itemsize=q2.dtype.itemsize)
-    memspace = pltpu.VMEM if _HAS_PLTPU else None
-    kw = {"memory_space": memspace} if memspace is not None else {}
+    kw = _vmem_kw()
     q_spec = pl.BlockSpec((G, 1, Lq, D2), lambda b, h: (b, h, 0, 0), **kw)
     kv_spec = pl.BlockSpec((G, 1, Lk, D2), lambda b, h: (b, h, 0, 0), **kw)
     return pl.pallas_call(
@@ -274,8 +256,7 @@ def _fwd_pallas(q, k, v, bias, interpret=False):
         B, limit=4 if bias.shape[0] != 1 else 10, itemsize=q.dtype.itemsize
     )
 
-    memspace = pltpu.VMEM if _HAS_PLTPU else None
-    kw = {"memory_space": memspace} if memspace is not None else {}
+    kw = _vmem_kw()
     qkv_spec = pl.BlockSpec((G, 1, L, D), lambda b, h: (b, h, 0, 0), **kw)
     bias_spec = _bias_spec_for(bias, G, L, kw)
     return pl.pallas_call(
