@@ -26,6 +26,7 @@ from rpo_tpu.ops.attention import (
     multihead_attention_kv,
     multihead_attention_rect,
 )
+from rpo_tpu.parallel.tp import shard_hidden
 
 
 def layer_norm(x: jax.Array, params: dict, eps: float = 1e-5) -> jax.Array:
@@ -49,7 +50,11 @@ def mlp(x: jax.Array, params: dict) -> jax.Array:
     h = jnp.einsum(
         "bld,dh->blh", x, params["fc_w"], preferred_element_type=jnp.float32
     ).astype(x.dtype) + params["fc_b"].astype(x.dtype)
-    h = quick_gelu(h)
+    # under tensor_parallel_scope, pin the 4W hidden dim to the model
+    # mesh axis (fc partitioned on its output dim, QuickGELU local, the
+    # down-projection's contraction all-reduces; parallel/tp.py) — no-op
+    # otherwise
+    h = quick_gelu(shard_hidden(h))
     out = jnp.einsum(
         "blh,hd->bld", h, params["proj_w"], preferred_element_type=jnp.float32
     ).astype(x.dtype) + params["proj_b"].astype(x.dtype)

@@ -93,6 +93,22 @@ TINY = CLIPConfig(
     text_layers=2,
 )
 
+# TINY with a 128-wide vision tower (2 heads): the smallest shape whose
+# BOTH towers can shard attention heads over a tensor-parallel mesh axis
+# (TINY's vision tower has a single head; parallel/tp.py).
+TINY_W128 = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=128,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    text_width=64,
+    text_heads=2,
+    text_layers=2,
+)
+
 # Test-size ModifiedResNet: one bottleneck per stage, width 16
 # (attnpool heads = 16*32//64 = 8, feature dim 512 -> embed 64).
 TINY_RN = CLIPConfig(
@@ -116,6 +132,7 @@ ARCHS = {
     "RN50x4": RN50x4,
     "RN50x16": RN50x16,
     "TINY": TINY,
+    "TINY_W128": TINY_W128,
     "TINY_RN": TINY_RN,
 }
 

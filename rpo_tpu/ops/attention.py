@@ -26,6 +26,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from rpo_tpu.parallel.tp import current_tp_scope, shard_heads
+
 NEG_INF = -1e9  # finite -inf stand-in: keeps softmax NaN-free for fully masked rows
 
 # Switch for the fused Pallas attention path (see pallas_attention.py).
@@ -77,6 +79,10 @@ def pallas_attention_scope(enabled: bool = True):
 
 def use_pallas_attention() -> bool:
     if _ENV == "0":
+        return False
+    if current_tp_scope() is not None:
+        # the GSPMD partitioner cannot split a Pallas custom call over the
+        # tensor-parallel mesh axis; the XLA lowering is what it knows
         return False
     return _flag() and jax.default_backend() not in ("cpu",)
 
@@ -147,7 +153,10 @@ def _head_proj(x: jax.Array, w: jax.Array, b: jax.Array, n_heads: int) -> jax.Ar
     out = jnp.einsum(
         "bld,dhk->bhlk", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
-    return out + b[None, :, None, :].astype(x.dtype)
+    # under tensor_parallel_scope, pin the head axis to the model axis of
+    # the mesh (each device computes H/tp heads; parallel/tp.py) — no-op
+    # otherwise
+    return shard_heads(out + b[None, :, None, :].astype(x.dtype))
 
 
 def _split_qkv(x: jax.Array, params: dict, n_heads: int):

@@ -1,0 +1,170 @@
+"""Tensor parallelism (parallel/tp.py): dp x tp mesh correctness.
+
+The reference has no model-parallel capability (its only parallelism is
+single-process nn.DataParallel, /root/reference/trainers/rpo.py:282-285);
+this layer is TPU-native new surface, so the ground truth is the
+framework's own single-device program: every tensor-parallel execution
+must produce the single-device result, and the compiled module must
+actually contain cross-device collectives (i.e. the constraints really
+partition the math rather than silently replicating it).
+
+Runs on the 8-device virtual CPU mesh from conftest.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpo_tpu.methods import rpo as core
+from rpo_tpu.models.clip.model import TINY_W128, init_clip
+from rpo_tpu.parallel.tp import (
+    make_mesh_2d,
+    shard_eval_step_tp,
+    shard_train_step_tp,
+    tensor_parallel_scope,
+)
+
+N_CLS = 8
+K = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_W128
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    classnames = [f"class {i}" for i in range(N_CLS)]
+    task = core.make_task(cfg, classnames, "a photo of a _.", K)
+    prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, K)
+    frozen = core.make_frozen(params, task)
+    return cfg, task, prompts, frozen
+
+
+def _eval_step_factory(task):
+    def eval_step(p, fz, text_f, images):
+        return core.rpo_logits(p, fz, task, images, text_f=text_f)
+
+    return eval_step
+
+
+def _train_step_factory(task):
+    from rpo_tpu.engine.optim import sgd_update
+
+    def train_step(prompts, opt_state, frozen, images, labels, mask, lr):
+        def loss_fn(p):
+            logits = core.rpo_logits(p, frozen, task, images, split_vision=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            return jnp.sum(nll * mask) / jnp.sum(mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(prompts)
+        prompts, opt_state = sgd_update(prompts, grads, opt_state, lr)
+        return prompts, opt_state, loss
+
+    return train_step
+
+
+def _batch(B, res=32, seed=0):
+    rng = np.random.RandomState(seed)
+    images = jnp.asarray(rng.randn(B, res, res, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, N_CLS, size=B), jnp.int32)
+    return images, labels
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 2), (1, 2)])
+def test_tp_eval_matches_single_device(setup, dp, tp):
+    cfg, task, prompts, frozen = setup
+    eval_step = _eval_step_factory(task)
+    text_f = core.encode_text_with_prompts(prompts, frozen, task)
+    images, _ = _batch(8)
+
+    sd = np.asarray(jax.jit(eval_step)(prompts, frozen, text_f, images))
+
+    mesh = make_mesh_2d(jax.devices()[: dp * tp], dp=dp, tp=tp)
+    tp_fn = shard_eval_step_tp(eval_step, mesh)
+    out = np.asarray(tp_fn(prompts, frozen, text_f, images))
+    np.testing.assert_allclose(out, sd, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_eval_actually_partitions(setup):
+    """The compiled dp x tp module must contain cross-device all-reduces:
+    with the model axis live, the attention out-projection and the MLP
+    down-projection both contract a sharded dimension."""
+    cfg, task, prompts, frozen = setup
+    eval_step = _eval_step_factory(task)
+    text_f = core.encode_text_with_prompts(prompts, frozen, task)
+    images, _ = _batch(8)
+
+    mesh = make_mesh_2d(jax.devices(), dp=4, tp=2)
+    compiled = (
+        shard_eval_step_tp(eval_step, mesh)
+        .lower(prompts, frozen, text_f, images)
+        .compile()
+    )
+    assert "all-reduce" in compiled.as_text()
+
+
+def test_tp_train_step_matches_single_device(setup):
+    """One full train step (grads + SGD) under dp x tp == single device,
+    with masked padding rows (the production loader contract).
+    with_sharding_constraint must be transparent to autodiff."""
+    from rpo_tpu.engine.optim import sgd_init
+
+    cfg, task, prompts, frozen = setup
+    train_step = _train_step_factory(task)
+    B = 8
+    images, labels = _batch(B)
+    mask = jnp.asarray((np.arange(B) < B - 2).astype(np.float32))
+    lr = jnp.float32(0.01)
+
+    sd_p, _, sd_loss = jax.jit(train_step)(
+        prompts, sgd_init(prompts), frozen, images, labels, mask, lr
+    )
+
+    mesh = make_mesh_2d(jax.devices(), dp=4, tp=2)
+    tp_fn = shard_train_step_tp(train_step, mesh, donate=False)
+    tp_p, _, tp_loss = tp_fn(
+        prompts, sgd_init(prompts), frozen, images, labels, mask, lr
+    )
+    np.testing.assert_allclose(float(tp_loss), float(sd_loss), rtol=1e-6)
+    for k in sd_p:
+        np.testing.assert_allclose(
+            np.asarray(tp_p[k]), np.asarray(sd_p[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"tp != single-device prompts after 1 step: {k}",
+        )
+
+
+def test_tp_indivisible_heads_degrade_gracefully(setup):
+    """tp larger than the head count: the head constraint no-ops (the
+    MLP hidden still shards) and the numbers still match single-device."""
+    cfg, task, prompts, frozen = setup
+    eval_step = _eval_step_factory(task)
+    text_f = core.encode_text_with_prompts(prompts, frozen, task)
+    images, _ = _batch(8)
+
+    sd = np.asarray(jax.jit(eval_step)(prompts, frozen, text_f, images))
+    mesh = make_mesh_2d(jax.devices(), dp=1, tp=8)  # heads=2 % 8 != 0
+    out = np.asarray(shard_eval_step_tp(eval_step, mesh)(prompts, frozen, text_f, images))
+    np.testing.assert_allclose(out, sd, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_scope_disables_pallas():
+    """Pallas custom calls have no GSPMD partitioning rule: the scope must
+    force the XLA attention path for ops traced inside it."""
+    from rpo_tpu.ops.attention import set_pallas_attention, use_pallas_attention
+
+    mesh = make_mesh_2d(jax.devices(), dp=4, tp=2)
+    set_pallas_attention(True)
+    try:
+        with tensor_parallel_scope(mesh):
+            assert not use_pallas_attention()
+    finally:
+        set_pallas_attention(False)
+
+
+def test_make_mesh_2d_factoring():
+    devs = jax.devices()
+    assert make_mesh_2d(devs, tp=4).shape == {"data": 2, "model": 4}
+    assert make_mesh_2d(devs, dp=2).shape == {"data": 2, "model": 4}
+    assert make_mesh_2d(devs).shape == {"data": 1, "model": 8}
+    with pytest.raises(ValueError):
+        make_mesh_2d(devs, dp=3, tp=2)
