@@ -24,8 +24,12 @@ class DataManager:
         self.transform = transform
 
         num_workers = int(cfg.DATALOADER.NUM_WORKERS)
-        # Padded batch shapes must divide over the data-parallel mesh.
-        n_dev = jax.device_count()
+        # Padded batch shapes must divide over the DATA axis of the mesh
+        # (device_count/tp when TRAIN.TENSOR_PARALLEL splits the rest
+        # over the model axis).
+        from rpo_tpu.parallel.tp import data_axis_size
+
+        n_dev = data_axis_size(cfg)
         train_bs = int(cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
         test_bs = int(cfg.DATALOADER.TEST.BATCH_SIZE)
         self.train_loader_x = BatchLoader(

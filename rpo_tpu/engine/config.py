@@ -258,6 +258,12 @@ def get_cfg_default() -> CfgNode:
                 # G=1 vs 189s at G=8).  Raise for long runs where the
                 # compile amortizes.
                 "STEPS_PER_DISPATCH": 1,
+                # Tensor parallelism: split the tower math itself over a
+                # "model" mesh axis of this size (devices = dp x tp;
+                # parallel/tp.py).  0/1 = off (default).  DP alone covers
+                # every throughput-bound workload here — reach for this
+                # only in the latency-bound regime (batch < n_devices).
+                "TENSOR_PARALLEL": 0,
                 # AOT-compile train/eval programs on background threads at
                 # build time, overlapping XLA compilation with the data
                 # pipeline (the reference has no compile step; this hides

@@ -220,7 +220,34 @@ class CLIPMethodTrainer(TrainerBase):
             return params, opt_state, losses, accs
 
         n_dev = jax.device_count()
+        tp = 0
         if n_dev > 1:
+            from rpo_tpu.parallel.tp import resolve_tp
+
+            tp = resolve_tp(self.cfg)
+        if tp:
+            # dp x tp: batch over "data", the tower math itself split over
+            # "model" (Megatron-style head/hidden sharding, parallel/tp.py).
+            # The tensor_parallel_scope disables the Pallas eval path at
+            # trace time (no GSPMD rule for custom calls) — the scope wrap
+            # above is a no-op under it.
+            from rpo_tpu.parallel.tp import (
+                make_mesh_2d,
+                shard_eval_step_tp,
+                shard_multi_step_tp,
+                shard_train_step_tp,
+            )
+
+            dp = n_dev // tp
+            print(
+                f"Multiple devices detected (n={n_dev}), tensor-parallel "
+                f"mesh over ICI (dp={dp} x tp={tp})"
+            )
+            self.mesh = make_mesh_2d(dp=dp, tp=tp)
+            self._train_step = shard_train_step_tp(train_step, self.mesh)
+            self._train_multi_step = shard_multi_step_tp(multi_step, self.mesh)
+            self._eval_step = shard_eval_step_tp(eval_step, self.mesh)
+        elif n_dev > 1:
             from rpo_tpu.parallel.dp import (
                 make_mesh,
                 shard_eval_step_local,
@@ -269,8 +296,11 @@ class CLIPMethodTrainer(TrainerBase):
 
         cfg = self.cfg
         from rpo_tpu.parallel.dp import pad_multiple
+        from rpo_tpu.parallel.tp import data_axis_size
 
-        n_dev = jax.device_count()
+        # prewarmed shapes must match the loader's padding, which divides
+        # by the DATA axis (device_count/tp under TRAIN.TENSOR_PARALLEL)
+        n_dev = data_axis_size(cfg)
         H, W = int(cfg.INPUT.SIZE[0]), int(cfg.INPUT.SIZE[1])
         # device-resize mode: batches arrive at the raw source size
         S = int(cfg.INPUT.DEVICE_RESIZE)

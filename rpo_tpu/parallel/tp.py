@@ -145,6 +145,29 @@ def shard_eval_step_tp(eval_step, mesh: Mesh):
     )
 
 
+def resolve_tp(cfg) -> int:
+    """The model-axis size from ``cfg.TRAIN.TENSOR_PARALLEL``, validated
+    against the visible devices.  0 = tensor parallelism off (including
+    tp=1 and single-device runs, where the knob is meaningless)."""
+    tp = int(getattr(cfg.TRAIN, "TENSOR_PARALLEL", 0) or 0)
+    n = jax.device_count()
+    if tp < 2 or n < 2:
+        return 0
+    if n % tp != 0:
+        raise ValueError(
+            f"TRAIN.TENSOR_PARALLEL={tp} does not divide the "
+            f"{n} visible devices"
+        )
+    return tp
+
+
+def data_axis_size(cfg) -> int:
+    """Devices along the batch-sharded axis: device_count / tp.  Loader
+    batch padding must divide by THIS, not the raw device count."""
+    tp = resolve_tp(cfg)
+    return jax.device_count() // tp if tp else jax.device_count()
+
+
 def shard_train_step_tp(train_step, mesh: Mesh, donate: bool = True):
     """train_step(params, opt_state, frozen, images, labels, mask, lr)
     under dp x tp (same contract as dp.shard_train_step)."""
@@ -157,6 +180,25 @@ def shard_train_step_tp(train_step, mesh: Mesh, donate: bool = True):
     return jax.jit(
         wrapped,
         in_shardings=(rep, rep, rep, shard, shard, shard, rep),
+        out_shardings=rep,
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def shard_multi_step_tp(multi_step, mesh: Mesh, donate: bool = True):
+    """multi_step(params, opt_state, frozen, imgs[G], labels[G], mask[G],
+    lr) under dp x tp: batch-group args sharded over "data" on axis 1
+    (same contract as dp.shard_multi_step)."""
+
+    def wrapped(params, opt_state, frozen, imgs_g, labels_g, mask_g, lr):
+        with tensor_parallel_scope(mesh):
+            return multi_step(params, opt_state, frozen, imgs_g, labels_g, mask_g, lr)
+
+    rep = _rep(mesh)
+    shard_g = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        wrapped,
+        in_shardings=(rep, rep, rep, shard_g, shard_g, shard_g, rep),
         out_shardings=rep,
         donate_argnums=(0, 1) if donate else (),
     )

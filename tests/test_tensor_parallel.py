@@ -161,6 +161,64 @@ def test_tp_scope_disables_pallas():
         set_pallas_attention(False)
 
 
+def test_resolve_tp_and_data_axis_size():
+    """TRAIN.TENSOR_PARALLEL config resolution against the 8-device mesh."""
+    from rpo_tpu.engine import get_cfg_default
+    from rpo_tpu.parallel.tp import data_axis_size, resolve_tp
+
+    cfg = get_cfg_default()
+    assert resolve_tp(cfg) == 0 and data_axis_size(cfg) == 8  # default off
+    cfg.TRAIN.TENSOR_PARALLEL = 2
+    assert resolve_tp(cfg) == 2 and data_axis_size(cfg) == 4
+    cfg.TRAIN.TENSOR_PARALLEL = 8
+    assert resolve_tp(cfg) == 8 and data_axis_size(cfg) == 1
+    cfg.TRAIN.TENSOR_PARALLEL = 1
+    assert resolve_tp(cfg) == 0  # tp=1 is meaningless -> off
+    cfg.TRAIN.TENSOR_PARALLEL = 3
+    with pytest.raises(ValueError):
+        resolve_tp(cfg)
+
+
+def test_tp_cli_matches_data_parallel(tmp_path):
+    """Full CLI run with TRAIN.TENSOR_PARALLEL 2 (dp=4 x tp=2 over the
+    8-device mesh) reproduces the default data-parallel run's losses and
+    accuracy — the production-surface integration of parallel/tp.py.
+    TINY_W128 so both towers' heads actually shard."""
+    import re
+
+    import numpy as np
+
+    from tests.test_engine_e2e import run_cli
+    from tests.test_multi_step import _losses
+
+    args = [
+        "--seed", "1",
+        "--trainer", "RPO",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", "configs/trainers/RPO/main.yaml",
+        "DATASET.NUM_SHOTS", "4",
+        "OPTIM.MAX_EPOCH", "1",
+        "MODEL.BACKBONE.NAME", "TINY_W128",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "4",
+        "DATALOADER.TEST.BATCH_SIZE", "16",
+        "TRAINER.RPO.PREC", "fp32",
+        "TRAIN.PRINT_FREQ", "1",
+    ]
+    s_dp = run_cli(["--output-dir", str(tmp_path / "dp")] + args)
+    s_tp = run_cli(
+        ["--output-dir", str(tmp_path / "tp")] + args
+        + ["TRAIN.TENSOR_PARALLEL", "2"]
+    )
+    assert "tensor-parallel mesh over ICI (dp=4 x tp=2)" in s_tp
+    l_dp, l_tp = _losses(s_dp), _losses(s_tp)
+    assert len(l_dp) == len(l_tp) > 0
+    np.testing.assert_allclose(l_dp, l_tp, rtol=1e-4, atol=1e-5)
+    a_dp = re.search(r"\* accuracy: ([\.\d]+)%", s_dp).group(1)
+    a_tp = re.search(r"\* accuracy: ([\.\d]+)%", s_tp).group(1)
+    assert a_dp == a_tp
+
+
 def test_make_mesh_2d_factoring():
     devs = jax.devices()
     assert make_mesh_2d(devs, tp=4).shape == {"data": 2, "model": 4}
