@@ -219,6 +219,34 @@ def test_tp_cli_matches_data_parallel(tmp_path):
     assert a_dp == a_tp
 
 
+def test_tp_zsclip_eval_matches_data_parallel(tmp_path):
+    """Eval-only ZeroshotCLIP — TP's actual target regime — under
+    TRAIN.TENSOR_PARALLEL 2 reproduces the data-parallel accuracy."""
+    import re
+
+    from tests.test_engine_e2e import run_cli
+
+    common = [
+        "--seed", "1",
+        "--trainer", "ZeroshotCLIP",
+        "--eval-only",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "DATASET.NUM_SHOTS", "2",
+        "MODEL.BACKBONE.NAME", "TINY_W128",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TEST.BATCH_SIZE", "16",
+    ]
+    s_dp = run_cli(["--output-dir", str(tmp_path / "dp")] + common)
+    s_tp = run_cli(
+        ["--output-dir", str(tmp_path / "tp")] + common
+        + ["TRAIN.TENSOR_PARALLEL", "2"]
+    )
+    assert "tensor-parallel mesh over ICI (dp=4 x tp=2)" in s_tp
+    a = re.search(r"\* accuracy: ([\.\deE+-]+)%", s_dp).group(1)
+    b = re.search(r"\* accuracy: ([\.\deE+-]+)%", s_tp).group(1)
+    assert a == b
+
+
 def test_make_mesh_2d_factoring():
     devs = jax.devices()
     assert make_mesh_2d(devs, tp=4).shape == {"data": 2, "model": 4}
