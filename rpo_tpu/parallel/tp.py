@@ -90,7 +90,13 @@ def tensor_parallel_scope(mesh: Mesh, axis: str = "model"):
 def shard_heads(x: jax.Array) -> jax.Array:
     """Constrain a (B, H, L, Dh) head-layout activation to be sharded
     over the model axis on H.  No-op outside the scope, or when H does
-    not divide by the axis (e.g. the paired-head Pallas layout)."""
+    not divide by the axis (e.g. the paired-head Pallas layout).
+
+    Every other dim is left UNCONSTRAINED — pinning them (even to None)
+    would force the batch dim replicated, and on a dp x tp mesh GSPMD
+    then falls back to an involuntary full rematerialization
+    (replicate-then-reshard) of the activation at every constraint.
+    Unconstrained, the batch keeps its "data" sharding from the input."""
     ctx = current_tp_scope()
     if ctx is None:
         return x
@@ -98,7 +104,8 @@ def shard_heads(x: jax.Array) -> jax.Array:
     tp = mesh.shape[axis]
     if x.ndim < 4 or x.shape[1] % tp != 0:
         return x
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, axis)))
+    spec = P(P.UNCONSTRAINED, axis, *([P.UNCONSTRAINED] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def shard_hidden(x: jax.Array) -> jax.Array:
@@ -111,7 +118,7 @@ def shard_hidden(x: jax.Array) -> jax.Array:
     tp = mesh.shape[axis]
     if x.shape[-1] % tp != 0:
         return x
-    spec = P(*([None] * (x.ndim - 1) + [axis]))
+    spec = P(*([P.UNCONSTRAINED] * (x.ndim - 1) + [axis]))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 

@@ -103,6 +103,37 @@ def test_tp_eval_actually_partitions(setup):
     assert "all-reduce" in compiled.as_text()
 
 
+def test_tp_constraints_preserve_data_sharding():
+    """shard_heads/shard_hidden must leave the non-model dims UNCONSTRAINED:
+    pinning them to None forces the batch replicated, and GSPMD then falls
+    back to an involuntary full rematerialization (replicate + reshard) of
+    every constrained activation on a dp x tp mesh.  Pin the composed
+    sharding: batch stays on "data", heads/hidden land on "model"."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rpo_tpu.parallel.tp import shard_heads, shard_hidden
+
+    mesh = make_mesh_2d(jax.devices(), dp=4, tp=2)
+
+    def heads_fn(x):
+        with tensor_parallel_scope(mesh):
+            return shard_heads(x) * 1.0
+
+    def hidden_fn(x):
+        with tensor_parallel_scope(mesh):
+            return shard_hidden(x) * 1.0
+
+    x4 = jnp.ones((8, 2, 16, 64), jnp.float32)  # (B, H, L, Dh)
+    out = jax.jit(heads_fn, in_shardings=NamedSharding(mesh, P("data")))(x4)
+    spec = out.sharding.spec
+    assert spec[0] == "data" and spec[1] == "model", spec
+
+    x3 = jnp.ones((8, 16, 128), jnp.float32)  # (B, L, 4W)
+    out = jax.jit(hidden_fn, in_shardings=NamedSharding(mesh, P("data")))(x3)
+    spec = out.sharding.spec
+    assert spec[0] == "data" and spec[-1] == "model", spec
+
+
 def test_tp_train_step_matches_single_device(setup):
     """One full train step (grads + SGD) under dp x tp == single device,
     with masked padding rows (the production loader contract).
