@@ -118,6 +118,7 @@ def _make_preprocess(n_px: int) -> Callable:
 
 def load(
     name: str,
+    *,
     dtype=None,
     require_weights: bool = False,
     seed: int = 0,
@@ -131,11 +132,17 @@ def load(
     of the reference's fp16 default on CUDA).  With no checkpoint
     available the backbone is randomly initialized with a loud warning
     unless ``require_weights`` is set.
+
+    Keyword-only after ``name``: the reference's second positional arg is
+    ``device`` (meaningless under XLA) — a mechanically ported
+    ``clip.load("ViT-B/16", device)`` must fail loudly at the call site,
+    not bind the device to ``dtype`` and crash deep in the weight cast.
     """
-    if require_weights and find_checkpoint(name) is None:
+    path = find_checkpoint(name)  # once: cache-dir hits SHA-hash the file
+    if require_weights and path is None:
         raise FileNotFoundError(
             f"No checkpoint for {name!r}: set $CLIP_CHECKPOINT, place it in "
             "$CLIP_CACHE_DIR/~/.cache/clip, or enable RPO_TPU_ALLOW_DOWNLOAD=1"
         )
-    params, cfg = load_backbone(name, dtype=dtype, seed=seed)
+    params, cfg = load_backbone(name, dtype=dtype, seed=seed, path=path)
     return CLIPModel(params, cfg), _make_preprocess(cfg.image_resolution)

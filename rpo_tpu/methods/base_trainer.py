@@ -220,30 +220,24 @@ class CLIPMethodTrainer(TrainerBase):
             return params, opt_state, losses, accs
 
         n_dev = jax.device_count()
-        tp = 0
+        tp_ctx = None
         if n_dev > 1:
-            from rpo_tpu.parallel.tp import resolve_tp
+            from rpo_tpu.parallel.tp import setup_tp_mesh
 
-            tp = resolve_tp(self.cfg)
-        if tp:
+            tp_ctx = setup_tp_mesh(self.cfg)
+        if tp_ctx is not None:
             # dp x tp: batch over "data", the tower math itself split over
             # "model" (Megatron-style head/hidden sharding, parallel/tp.py).
             # The tensor_parallel_scope disables the Pallas eval path at
             # trace time (no GSPMD rule for custom calls) — the scope wrap
             # above is a no-op under it.
             from rpo_tpu.parallel.tp import (
-                make_mesh_2d,
                 shard_eval_step_tp,
                 shard_multi_step_tp,
                 shard_train_step_tp,
             )
 
-            dp = n_dev // tp
-            print(
-                f"Multiple devices detected (n={n_dev}), tensor-parallel "
-                f"mesh over ICI (dp={dp} x tp={tp})"
-            )
-            self.mesh = make_mesh_2d(dp=dp, tp=tp)
+            self.mesh, _, _ = tp_ctx
             self._train_step = shard_train_step_tp(train_step, self.mesh)
             self._train_multi_step = shard_multi_step_tp(multi_step, self.mesh)
             self._eval_step = shard_eval_step_tp(eval_step, self.mesh)

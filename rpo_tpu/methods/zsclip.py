@@ -92,23 +92,18 @@ class ZeroshotCLIP(TrainerBase):
         # (the data manager already pads test batches to a device
         # multiple), so zero-shot sweeps scale like every other method.
         self._frozen = {"clip": self.clip_params}
-        tp = 0
+        tp_ctx = None
         if jax.device_count() > 1:
-            from rpo_tpu.parallel.tp import resolve_tp
+            from rpo_tpu.parallel.tp import setup_tp_mesh
 
-            tp = resolve_tp(self.cfg)
-        if tp:
+            tp_ctx = setup_tp_mesh(self.cfg)
+        if tp_ctx is not None:
             # eval-only is the latency-bound regime tensor parallelism
             # exists for: split the tower math over the model axis
             # (parallel/tp.py; the scope forces the XLA attention path)
-            from rpo_tpu.parallel.tp import make_mesh_2d, shard_eval_step_tp
+            from rpo_tpu.parallel.tp import shard_eval_step_tp
 
-            dp = jax.device_count() // tp
-            print(
-                f"Multiple devices detected (n={jax.device_count()}), "
-                f"tensor-parallel mesh over ICI (dp={dp} x tp={tp})"
-            )
-            self.mesh = make_mesh_2d(dp=dp, tp=tp)
+            self.mesh, _, _ = tp_ctx
             self._eval_step = shard_eval_step_tp(eval_step, self.mesh)
         elif jax.device_count() > 1:
             from rpo_tpu.parallel.dp import make_mesh, shard_eval_step_local

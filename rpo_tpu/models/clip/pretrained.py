@@ -129,11 +129,20 @@ def find_checkpoint(backbone_name: str) -> Optional[str]:
     return _maybe_download(backbone_name)
 
 
+_UNRESOLVED = object()  # sentinel: path=None means "resolved to no checkpoint"
+
+
 def load_backbone(
-    backbone_name: str, dtype=None, seed: int = 0
+    backbone_name: str, dtype=None, seed: int = 0, path=_UNRESOLVED
 ) -> Tuple[Params, CLIPConfig]:
-    """Resolve + load (or randomly init) a CLIP backbone as a jax pytree."""
-    path = find_checkpoint(backbone_name)
+    """Resolve + load (or randomly init) a CLIP backbone as a jax pytree.
+
+    ``path`` lets a caller that already ran :func:`find_checkpoint` skip
+    the second resolution (cache-dir hits SHA256-hash the whole ~340 MB
+    file per call); pass its result, including ``None`` for no-checkpoint.
+    """
+    if path is _UNRESOLVED:
+        path = find_checkpoint(backbone_name)
     if path is not None:
         from .convert import load_clip
 

@@ -152,13 +152,30 @@ def shard_eval_step_tp(eval_step, mesh: Mesh):
     )
 
 
+_WARNED_SINGLE_DEVICE = False
+
+
 def resolve_tp(cfg) -> int:
     """The model-axis size from ``cfg.TRAIN.TENSOR_PARALLEL``, validated
     against the visible devices.  0 = tensor parallelism off (including
-    tp=1 and single-device runs, where the knob is meaningless)."""
+    tp=1, where the knob is meaningless).  A requested tp that cannot be
+    satisfied is never silent: indivisible counts raise; a single visible
+    device warns loudly once (the run proceeds single-device — the same
+    config must stay runnable on a 1-chip host), since a quietly-ignored
+    knob in the latency-bound serving regime masks a broken topology."""
     tp = int(getattr(cfg.TRAIN, "TENSOR_PARALLEL", 0) or 0)
     n = jax.device_count()
-    if tp < 2 or n < 2:
+    if tp < 2:
+        return 0
+    if n < 2:
+        global _WARNED_SINGLE_DEVICE
+        if not _WARNED_SINGLE_DEVICE:
+            _WARNED_SINGLE_DEVICE = True
+            print(
+                f"(!) TRAIN.TENSOR_PARALLEL={tp} requested but only {n} "
+                "device is visible — tensor parallelism disabled, running "
+                "single-device"
+            )
         return 0
     if n % tp != 0:
         raise ValueError(
@@ -166,6 +183,23 @@ def resolve_tp(cfg) -> int:
             f"{n} visible devices"
         )
     return tp
+
+
+def setup_tp_mesh(cfg):
+    """Resolve ``TRAIN.TENSOR_PARALLEL`` and build the production dp x tp
+    mesh, printing the mesh line the CLI tests pin.  Returns
+    ``(mesh, dp, tp)``, or ``None`` when tensor parallelism is off — the
+    single source for the trainer/zsclip mesh-setup sequence."""
+    tp = resolve_tp(cfg)
+    if not tp:
+        return None
+    n = jax.device_count()
+    dp = n // tp
+    print(
+        f"Multiple devices detected (n={n}), tensor-parallel "
+        f"mesh over ICI (dp={dp} x tp={tp})"
+    )
+    return make_mesh_2d(dp=dp, tp=tp), dp, tp
 
 
 def data_axis_size(cfg) -> int:

@@ -29,6 +29,9 @@ def test_load_rejects_unknown_name_without_checkpoint(monkeypatch):
     from rpo_tpu import clip
 
     monkeypatch.delenv("CLIP_CHECKPOINT", raising=False)
+    # a developer env with downloads enabled must not turn this into a
+    # real 340 MB network fetch
+    monkeypatch.delenv("RPO_TPU_ALLOW_DOWNLOAD", raising=False)
     monkeypatch.setenv("CLIP_CACHE_DIR", "/nonexistent-cache")
     with pytest.raises(FileNotFoundError):
         clip.load("ViT-B/16", require_weights=True)

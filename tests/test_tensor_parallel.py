@@ -164,6 +164,60 @@ def test_tp_train_step_matches_single_device(setup):
         )
 
 
+def test_tp_multi_step_matches_single_device(setup):
+    """Grouped dispatch (lax.scan of train steps, TRAIN.STEPS_PER_DISPATCH
+    semantics) under dp x tp == single device — the scan carry and the
+    P(None, "data") group sharding compose with the TP constraints."""
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_init
+    from rpo_tpu.parallel.tp import shard_multi_step_tp
+
+    cfg, task, prompts, frozen = setup
+    train_step = _train_step_factory(task)
+
+    def multi_step(prompts, opt_state, frozen, imgs_g, labels_g, mask_g, lr):
+        def body(carry, batch):
+            p, o = carry
+            imgs, labels, mask = batch
+            p, o, loss = train_step(p, o, frozen, imgs, labels, mask, lr)
+            return (p, o), loss
+
+        (prompts, opt_state), losses = jax.lax.scan(
+            body, (prompts, opt_state), (imgs_g, labels_g, mask_g)
+        )
+        return prompts, opt_state, losses
+
+    G, B = 3, 8
+    rng = np.random.RandomState(7)
+    imgs_g = jnp.asarray(rng.randn(G, B, 32, 32, 3), jnp.float32)
+    labels_g = jnp.asarray(rng.randint(0, N_CLS, size=(G, B)), jnp.int32)
+    mask_g = jnp.asarray(
+        (np.arange(B)[None, :] < np.array([B, B - 2, B - 1])[:, None]).astype(
+            np.float32
+        )
+    )
+    lr = jnp.float32(0.01)
+
+    sd_p, _, sd_losses = jax.jit(multi_step)(
+        prompts, sgd_init(prompts), frozen, imgs_g, labels_g, mask_g, lr
+    )
+
+    mesh = make_mesh_2d(jax.devices(), dp=4, tp=2)
+    tp_fn = shard_multi_step_tp(multi_step, mesh, donate=False)
+    tp_p, _, tp_losses = tp_fn(
+        prompts, sgd_init(prompts), frozen, imgs_g, labels_g, mask_g, lr
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_losses), np.asarray(sd_losses), rtol=1e-5, atol=1e-6
+    )
+    for k in sd_p:
+        np.testing.assert_allclose(
+            np.asarray(tp_p[k]), np.asarray(sd_p[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"tp != single-device prompts after {G} grouped steps: {k}",
+        )
+
+
 def test_tp_indivisible_heads_degrade_gracefully(setup):
     """tp larger than the head count: the head constraint no-ops (the
     MLP hidden still shards) and the numbers still match single-device."""
@@ -208,6 +262,23 @@ def test_resolve_tp_and_data_axis_size():
     cfg.TRAIN.TENSOR_PARALLEL = 3
     with pytest.raises(ValueError):
         resolve_tp(cfg)
+
+
+def test_resolve_tp_single_device_warns(monkeypatch, capsys):
+    """A requested-but-unsatisfiable tp on a 1-device host is disabled
+    LOUDLY (once), not silently — a quiet no-op in the serving regime the
+    knob exists for would mask a broken topology."""
+    from rpo_tpu.engine import get_cfg_default
+    from rpo_tpu.parallel import tp as tpmod
+
+    cfg = get_cfg_default()
+    cfg.TRAIN.TENSOR_PARALLEL = 4
+    monkeypatch.setattr(tpmod.jax, "device_count", lambda: 1)
+    monkeypatch.setattr(tpmod, "_WARNED_SINGLE_DEVICE", False)
+    assert tpmod.resolve_tp(cfg) == 0
+    assert tpmod.resolve_tp(cfg) == 0  # second call: no duplicate warning
+    out = capsys.readouterr().out
+    assert out.count("TRAIN.TENSOR_PARALLEL=4 requested but only 1") == 1
 
 
 def test_tp_cli_matches_data_parallel(tmp_path):
