@@ -19,6 +19,8 @@ plus a 51x77 masked text tower per step).  Target is >=5x (BASELINE.json).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -118,92 +120,48 @@ def main() -> None:
     opt_state = sgd_init(prompts)
     lr = jnp.float32(0.01)
 
-    # --- on-device Pallas correctness gate (VERDICT r1 weak #3): both
-    # kernels vs the XLA path at the real shapes, asserted before timing.
+    # --- on-device Pallas correctness gate (VERDICT r1 weak #3), hardened
+    # after BENCH_r03 (VERDICT r3 "do this" #1): each check isolated with
+    # one retry (rpo_tpu/ops/selftest.py — the same checks as
+    # tools/kernel_selftest.py); on ANY failure the bench downgrades every
+    # subsequently-traced program to the XLA path and still reports the
+    # full set of numbers, with the gate status inside the JSON, instead
+    # of dying with rc=1 (a benchmark harness must degrade, not die — one
+    # transient `axon` FAILED_PRECONDITION killed all of round 3's
+    # numbers).
     from rpo_tpu.ops import attention as attn_ops
 
-    def _pallas_gate():
+    def _pallas_gate() -> str:
         if jax.default_backend() == "cpu":
-            print("pallas gate: skipped (cpu backend)")
-            return
-        r = np.random.RandomState(7)
+            print("pallas gate: skipped (cpu backend)", file=sys.stderr)
+            return "skipped (cpu backend)"
+        try:
+            from rpo_tpu.ops.selftest import run_selftest
 
-        def check(name, B, H, Lq, Lk, D, bias):
-            q = jnp.asarray(r.randn(B, H, Lq, D), jnp.bfloat16)
-            k = jnp.asarray(r.randn(B, H, Lk, D), jnp.bfloat16)
-            v = jnp.asarray(r.randn(B, H, Lk, D), jnp.bfloat16)
-
-            def run(use):
-                with attn_ops.pallas_attention_scope(use):
-                    return jax.jit(
-                        lambda q, k, v: attn_ops.dot_product_attention(q, k, v, bias)
-                    )(q, k, v)
-
-            a = np.asarray(run(True), np.float32)
-            b = np.asarray(run(False), np.float32)
-            err = np.abs(a - b).max()
-            assert err < 2e-2, f"pallas {name} mismatch: {err}"
-            print(f"pallas gate: {name} max|pallas-xla| = {err:.2e} OK")
-
-        text_bias = jnp.asarray(core.build_text_mask(task.len_prompts))
-        check("text-masked (51,8,77,77)", N_CLS, 8, 77, 77, 64, text_bias)
-        S = cfg.vision_seq_len + K
-        vis_bias = jnp.asarray(core.build_visual_mask(S, K))
-        check(f"vision-masked (4,12,{S},{S})", 4, 12, S, S, 64, vis_bias)
-        # the REAL eval batch: the timed program is shape-specialized to
-        # B=100 (grid grouping G depends on B), so gate that exact shape
-        check("vision-rect (100,12,221,197)", 100, 12, S, cfg.vision_seq_len, 64, None)
-
-        # paired-head rect tower (the eval hot path) vs the XLA tower.
-        # blk rides as a jit ARGUMENT (closure arrays embed as constants).
-        from rpo_tpu.models.clip.layers import rect_residual_block
-
-        x = jnp.asarray(r.randn(4, S, cfg.vision_width) * 0.1, jnp.bfloat16)
-        blk = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a[0]), frozen["clip"]["visual"]["blocks"]
+            out = run_selftest(tol=2e-2, retries=1, verbose=True)
+        except Exception as e:  # even the harness itself must not kill timing
+            return f"failed: selftest harness error: {type(e).__name__}: {e}"
+        if out["value"] == out["total"]:
+            return f"ok ({out['value']}/{out['total']} checks)"
+        failed = {
+            k: v for k, v in out["checks"].items() if not v.startswith("ok")
+        }
+        return (
+            f"failed ({out['value']}/{out['total']} passed): "
+            + "; ".join(f"{k}: {v}" for k, v in failed.items())
         )
 
-        def tower(use):
-            with attn_ops.pallas_attention_scope(use):
-                return jax.jit(
-                    lambda x, blk: rect_residual_block(
-                        x, blk, cfg.vision_heads, cfg.vision_seq_len
-                    )
-                )(x, blk)
-
-        a = np.asarray(tower(True), np.float32)
-        b = np.asarray(tower(False), np.float32)
-        err = np.abs(a - b).max()
-        assert err < 2e-2, f"paired rect tower mismatch: {err}"
-        print(f"pallas gate: paired rect tower max|pallas-xla| = {err:.2e} OK")
-
-        # Pallas inside shard_map (the production multi-device eval path;
-        # untestable on the CPU mesh where Pallas is disabled): a 1-device
-        # mesh on the real chip certifies the composition compiles + runs.
-        from rpo_tpu.parallel.dp import make_mesh, shard_eval_step_local
-
-        def shard_tower(xx, bb):
-            with attn_ops.pallas_attention_scope(True):
-                return rect_residual_block(
-                    xx, bb, cfg.vision_heads, cfg.vision_seq_len
-                )
-
-        mesh1 = make_mesh(jax.devices()[:1])
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        sm = jax.jit(
-            shard_map(
-                shard_tower, mesh=mesh1, in_specs=(P("data"), P()),
-                out_specs=P("data"), check_vma=False,
-            )
+    pallas_gate_status = _pallas_gate()
+    if not (
+        pallas_gate_status.startswith("ok")
+        or pallas_gate_status.startswith("skipped")
+    ):
+        print(
+            f"pallas gate FAILED — timing the XLA path instead: "
+            f"{pallas_gate_status}",
+            file=sys.stderr,
         )
-        c = np.asarray(sm(x, blk), np.float32)
-        err = np.abs(c - b).max()
-        assert err < 2e-2, f"pallas-in-shard_map mismatch: {err}"
-        print(f"pallas gate: pallas-in-shard_map max|.-xla| = {err:.2e} OK")
-
-    _pallas_gate()
+        attn_ops.override_pallas_attention("0")
 
     # warmup / compile
     t_c = time.perf_counter()
@@ -276,7 +234,7 @@ def main() -> None:
     host_eimgs = np.asarray(eimgs)
     host_small = rng.randint(0, 256, size=(EVAL_BATCH, 64, 64, 3)).astype(np.uint8)
 
-    def timed_h2d(jit_fn, host_batch, n=8):
+    def timed_h2d(jit_fn, host_batch, eval_batch, n=8):
         out = jit_fn(prompts, frozen, text_f, jnp.asarray(host_batch))
         float(np.asarray(out)[0, 0])  # compile + sync
         times = []
@@ -286,10 +244,37 @@ def main() -> None:
                 out = jit_fn(prompts, frozen, text_f, jnp.asarray(host_batch))
             float(np.asarray(out)[0, 0])
             times.append(time.perf_counter() - t0)
-        return n * EVAL_BATCH / min(times)
+        return n * eval_batch / min(times)
 
-    eval_h2d_img_s = timed_h2d(eval_jit, host_eimgs)
-    eval_dr_img_s = timed_h2d(eval_dr_jit, host_small)
+    eval_h2d_img_s = timed_h2d(eval_jit, host_eimgs, EVAL_BATCH)
+    eval_dr_img_s = timed_h2d(eval_dr_jit, host_small, EVAL_BATCH)
+
+    # --- production TP trace on the real chip (VERDICT r3 "do this" #6):
+    # the dp x tp code is CPU-mesh-validated; here the same trace
+    # (tensor_parallel_scope constraints + in/out shardings) is lowered and
+    # RUN on TPU over a 1x1 mesh — certifying the TP program compiles and
+    # executes on real hardware within the 1-device constraint.
+    def _tp_trace_check() -> str:
+        if jax.default_backend() == "cpu":
+            return "skipped (cpu backend)"
+        try:
+            from rpo_tpu.parallel.tp import make_mesh_2d, shard_eval_step_tp
+
+            mesh = make_mesh_2d(jax.devices()[:1], dp=1, tp=1)
+            tp_eval = shard_eval_step_tp(eval_step, mesh)
+            tp_logits = np.asarray(
+                tp_eval(prompts, frozen, text_f, eimgs), np.float32
+            )
+            ref = np.asarray(logits, np.float32)
+            err = float(np.abs(tp_logits - ref).max())
+            if err > 0.1:  # bf16 logits, |logits| <~ 15 at init scale
+                return f"failed: mismatch vs eval path err={err:.3e}"
+            return f"ok (err={err:.2e})"
+        except Exception as e:  # noqa: BLE001 — must not kill the bench
+            return f"failed: {type(e).__name__}: {e}"
+
+    tp_trace_status = _tp_trace_check()
+    print(f"tp-trace 1x1 on-device: {tp_trace_status}", file=sys.stderr)
 
     # Analytic FLOP counts (XLA cost_analysis counts a lax.scan body once,
     # not x layers, so it under-reports ~12x here).  Matmul = 2*M*N*K.
@@ -342,6 +327,39 @@ def main() -> None:
             eval_step_flops * eval_imgs_per_sec / EVAL_BATCH / peak, 3
         )
 
+    # --- per-method benches (VERDICT r3 "do this" #2): the graded
+    # BENCH_r*.json should be the complete perf record — CoOp / CoCoOp /
+    # LP / zsclip at their protocol configs ride in extras["methods"]
+    # instead of living only in BASELINE.md prose.  Cheap-first ordering
+    # under a wall-clock budget, each isolated: a method failure becomes a
+    # string in the JSON, never an rc=1.  RPO_TPU_BENCH_METHODS=0 skips
+    # (the quick single-metric mode).
+    methods_extras: dict = {}
+    if os.environ.get("RPO_TPU_BENCH_METHODS", "1") != "0":
+        budget_s = float(os.environ.get("RPO_TPU_BENCH_BUDGET_S", "1500"))
+        t_methods = time.perf_counter()
+        order = [
+            ("zsclip", bench_zsclip),
+            ("lp", bench_lp),
+            ("coop", bench_coop),
+            # embedded run: protocol batch 1 + one vmapped point (the full
+            # 1/4/8/32 curve stays in `bench.py --method cocoop`)
+            ("cocoop", lambda: bench_cocoop(batches=(1, 8))),
+        ]
+        for name, fn in order:
+            if time.perf_counter() - t_methods > budget_s:
+                methods_extras[name] = "skipped: bench wall-clock budget"
+                print(f"method bench {name}: skipped (budget)", file=sys.stderr)
+                continue
+            try:
+                r = fn()
+                methods_extras[name] = {
+                    "value": r["value"], "unit": r["unit"], **r["extras"]
+                }
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                methods_extras[name] = f"failed: {type(e).__name__}: {e}"
+            print(f"method bench {name}: {methods_extras[name]}", file=sys.stderr)
+
     # 16-shot epoch wall-clock estimate: 51 classes * 16 shots / batch 4
     steps_per_epoch = int(np.ceil(N_CLS * 16 / TRAIN_BATCH))
     epoch_seconds = steps_per_epoch / steps_per_sec
@@ -384,6 +402,9 @@ def main() -> None:
                         eval_dr_img_s, 2
                     ),
                     **perf_extras,
+                    "pallas_gate": pallas_gate_status,
+                    "tp_trace_1x1": tp_trace_status,
+                    "methods": methods_extras,
                     "device": device_name,
                 },
             }
@@ -544,11 +565,12 @@ def bench_coop() -> dict:
     }
 
 
-def bench_cocoop() -> dict:
+def bench_cocoop(batches=(1, 4, 8, 32)) -> dict:
     """CoCoOp at the protocol config (vit_b16_c4_ep10_batch1: batch 1,
-    N_CTX 4) AND at vmapped batch 8 — the reference's per-image loop
+    N_CTX 4) AND at vmapped batches — the reference's per-image loop
     design pins it to batch 1; the vmapped formulation removes that
-    constraint, which is the headline number here."""
+    constraint, which is the headline number here.  ``batches`` must
+    include 1 (the protocol config)."""
     import jax
     import jax.numpy as jnp
 
@@ -572,7 +594,7 @@ def bench_cocoop() -> dict:
     lr = jnp.float32(0.002)
     per_batch = {}
     compile_s = {}
-    for B in (1, 4, 8, 32):
+    for B in batches:
         # B >= 16 OOMs a 16GB v5e chip plain (B x n_cls x 77 stashed
         # text-tower activations).  remat alone is NOT enough: the
         # checkpointed per-image recompute still materializes per-layer

@@ -26,6 +26,13 @@ _FILENAMES = {
     "RN50x16": "RN50x16.pt",
 }
 
+# HF-hub repo basenames accepted as alternate cache filenames (the HF
+# CLIPModel state-dict layout is auto-remapped by convert.py)
+_HF_NAMES = {
+    "ViT-B/16": "clip-vit-base-patch16",
+    "ViT-B/32": "clip-vit-base-patch32",
+}
+
 # Official OpenAI release URLs (SHA256 embedded in the path), as in the
 # reference's _MODELS table (/root/reference/clip/clip.py:29-36).  Only
 # used when RPO_TPU_ALLOW_DOWNLOAD=1 — TPU pods typically have no egress.
@@ -98,6 +105,24 @@ def find_checkpoint(backbone_name: str) -> Optional[str]:
     fname = _FILENAMES.get(backbone_name)
     if fname:
         path = os.path.join(cache_dir, fname)
+        if not os.path.exists(path):
+            # widened intake (VERDICT r3 #5): any locally-present variant
+            # of the same backbone unlocks the real-weights stage — the
+            # converter accepts open_clip envelopes, HF CLIPModel state
+            # dicts, and safetensors (convert.normalize_state_dict)
+            stem = os.path.splitext(fname)[0]
+            alternates = [f"{stem}.safetensors", f"{stem}.bin"]
+            hf_repo = _HF_NAMES.get(backbone_name)
+            if hf_repo:
+                alternates += [f"{hf_repo}.safetensors", f"{hf_repo}.bin"]
+            for alt in alternates:
+                alt_path = os.path.join(cache_dir, alt)
+                if os.path.exists(alt_path):
+                    print(
+                        f"Using alternate-format checkpoint {alt_path} "
+                        f"for {backbone_name} (auto-converted layout)"
+                    )
+                    return alt_path
         if os.path.exists(path):
             # verify cached files whose expected SHA we know (the OpenAI
             # URLs embed it) — a truncated download should be reported,

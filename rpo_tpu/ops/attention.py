@@ -61,6 +61,18 @@ def set_pallas_attention(enabled: bool) -> None:
     _TLS.use_pallas = enabled
 
 
+def override_pallas_attention(mode) -> None:
+    """Process-wide override, stronger than scopes: "0" forces the XLA
+    path everywhere, "1" forces Pallas, None restores env control.
+
+    Used by bench.py's hardened gate: when a kernel self-test check fails
+    on device, the bench downgrades every subsequently-traced program to
+    the XLA path and still reports numbers instead of dying (the
+    BENCH_r03 failure mode)."""
+    global _ENV
+    _ENV = _os.environ.get("RPO_TPU_PALLAS_ATTENTION", "") if mode is None else mode
+
+
 @_contextlib.contextmanager
 def pallas_attention_scope(enabled: bool = True):
     """Enable/disable the Pallas path for ops *traced* inside the scope

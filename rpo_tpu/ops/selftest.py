@@ -1,0 +1,251 @@
+"""On-device Pallas kernel self-test library.
+
+Every Pallas kernel at every production shape vs the plain-XLA attention
+path, each check fully isolated (own try/except + retry) — the bisection
+tool that separates a kernel regression from an `axon` platform fault
+(round 3's BENCH_r03.json crash mode: one transient FAILED_PRECONDITION
+in the bench gate killed every number).
+
+Used two ways:
+  - ``tools/kernel_selftest.py`` — standalone CLI, one JSON line;
+  - ``bench.py`` — as the hardened pre-timing gate: on any failure the
+    bench downgrades the timed sections to the XLA path and reports the
+    gate status inside its JSON instead of dying.
+
+Production shapes covered (see bench.py and the trainers):
+  - pallas_attention, text-masked   (51, 8, 77, 77, 64)    RPO text tower
+  - pallas_attention, vision-masked (4, 12, 221, 221, 64)  RPO train tower
+  - pallas_rect_attention           (100, 12, 221, 197, 64) RPO eval tower
+  - pallas_rect_attention_paired    (100, 6, 221, 197, 128) eval hot path
+  - pallas_rect_attention_paired backward (custom VJP)
+  - rect_residual_block pallas-vs-xla (whole layer, eval path)
+  - pallas inside shard_map (1-device mesh — the production dp eval path)
+
+Reference parity surface: /root/reference/trainers/rpo.py:140-168 builds
+the (bsz*heads, L, S) masks these kernels replace.
+"""
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+
+def _checks(jax, jnp, np):
+    """Yield (name, thunk) pairs; each thunk returns a max-abs-err float
+    and asserts nothing — the runner owns tolerance + isolation."""
+    from rpo_tpu.methods import rpo as core
+    from rpo_tpu.models.clip import VIT_B16, cast_params, init_clip
+    from rpo_tpu.ops import attention as attn_ops
+
+    cfg = VIT_B16
+    N_CLS, K = 51, 24
+    S = cfg.vision_seq_len + K  # 221
+    r = np.random.RandomState(7)
+    classnames = [f"object category {i}" for i in range(N_CLS)]
+    task = core.make_task(cfg, classnames, "a photo of a _.", K)
+
+    def qkv(B, H, Lq, Lk, D, dtype=jnp.bfloat16):
+        q = jnp.asarray(r.randn(B, H, Lq, D), dtype)
+        k = jnp.asarray(r.randn(B, H, Lk, D), dtype)
+        v = jnp.asarray(r.randn(B, H, Lk, D), dtype)
+        return q, k, v
+
+    def attn_err(B, H, Lq, Lk, D, bias):
+        q, k, v = qkv(B, H, Lq, Lk, D)
+
+        def run(use):
+            with attn_ops.pallas_attention_scope(use):
+                return jax.jit(
+                    lambda q, k, v: attn_ops.dot_product_attention(q, k, v, bias)
+                )(q, k, v)
+
+        a = np.asarray(run(True), np.float32)
+        b = np.asarray(run(False), np.float32)
+        return float(np.abs(a - b).max())
+
+    text_bias = jnp.asarray(core.build_text_mask(task.len_prompts))
+    vis_bias = jnp.asarray(core.build_visual_mask(S, K))
+
+    yield (
+        f"text-masked ({N_CLS},8,77,77)",
+        lambda: attn_err(N_CLS, 8, 77, 77, 64, text_bias),
+    )
+    yield (
+        f"vision-masked (4,12,{S},{S})",
+        lambda: attn_err(4, 12, S, S, 64, vis_bias),
+    )
+    yield (
+        f"vision-rect (100,12,{S},{cfg.vision_seq_len})",
+        lambda: attn_err(100, 12, S, cfg.vision_seq_len, 64, None),
+    )
+
+    def paired_err():
+        # paired layout: head pair i = real heads (2i, 2i+1) packed on lanes
+        from rpo_tpu.ops.pallas_attention import pallas_rect_attention_paired
+
+        B, H, Lq, Lk, D = 100, 12, S, cfg.vision_seq_len, 64
+        q, k, v = qkv(B, H, Lq, Lk, D)
+
+        def pack(x):
+            B_, H_, L_, D_ = x.shape
+            return x.reshape(B_, H_ // 2, 2, L_, D_).transpose(0, 1, 3, 2, 4).reshape(
+                B_, H_ // 2, L_, 2 * D_
+            )
+
+        a2 = jax.jit(lambda q2, k2, v2: pallas_rect_attention_paired(q2, k2, v2, D))(
+            pack(q), pack(k), pack(v)
+        )
+        with attn_ops.pallas_attention_scope(False):
+            b = jax.jit(
+                lambda q, k, v: attn_ops.dot_product_attention(q, k, v, None)
+            )(q, k, v)
+        return float(
+            np.abs(np.asarray(a2, np.float32) - np.asarray(pack(b), np.float32)).max()
+        )
+
+    yield (f"vision-rect-paired (100,6,{S},{cfg.vision_seq_len})", paired_err)
+
+    def paired_grad_err():
+        from rpo_tpu.ops.pallas_attention import pallas_rect_attention_paired
+
+        B, H2, Lq, Lk, D2 = 4, 6, S, cfg.vision_seq_len, 128
+        q2, k2, v2 = qkv(B, H2, Lq, Lk, D2)
+
+        def loss_pl(q2, k2, v2):
+            return jnp.sum(pallas_rect_attention_paired(q2, k2, v2, 64) ** 2)
+
+        def loss_xla(q2, k2, v2):
+            outs = []
+            for h in (0, 1):
+                sl = slice(h * 64, (h + 1) * 64)
+                with attn_ops.pallas_attention_scope(False):
+                    outs.append(
+                        attn_ops.dot_product_attention(
+                            q2[..., sl], k2[..., sl], v2[..., sl], None
+                        )
+                    )
+            return jnp.sum(jnp.concatenate(outs, axis=-1) ** 2)
+
+        ga = jax.jit(jax.grad(loss_pl, argnums=(0, 1, 2)))(q2, k2, v2)
+        gb = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q2, k2, v2)
+        return max(
+            float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max())
+            for a, b in zip(ga, gb)
+        )
+
+    yield ("vision-rect-paired grad (custom VJP)", paired_grad_err)
+
+    # whole-layer check: the rect residual block (eval hot path) with the
+    # REAL parameter structure, pallas vs xla
+    params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    frozen = core.make_frozen(params, task)
+
+    def tower_err():
+        from rpo_tpu.models.clip.layers import rect_residual_block
+
+        x = jnp.asarray(r.randn(4, S, cfg.vision_width) * 0.1, jnp.bfloat16)
+        blk = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[0]), frozen["clip"]["visual"]["blocks"]
+        )
+
+        def tower(use):
+            with attn_ops.pallas_attention_scope(use):
+                return jax.jit(
+                    lambda x, blk: rect_residual_block(
+                        x, blk, cfg.vision_heads, cfg.vision_seq_len
+                    )
+                )(x, blk)
+
+        return float(
+            np.abs(
+                np.asarray(tower(True), np.float32)
+                - np.asarray(tower(False), np.float32)
+            ).max()
+        )
+
+    yield ("rect residual block (whole layer)", tower_err)
+
+    def shard_map_err():
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from rpo_tpu.models.clip.layers import rect_residual_block
+        from rpo_tpu.parallel.dp import make_mesh
+
+        x = jnp.asarray(r.randn(4, S, cfg.vision_width) * 0.1, jnp.bfloat16)
+        blk = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[0]), frozen["clip"]["visual"]["blocks"]
+        )
+
+        def shard_tower(xx, bb):
+            with attn_ops.pallas_attention_scope(True):
+                return rect_residual_block(xx, bb, cfg.vision_heads, cfg.vision_seq_len)
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        sm = jax.jit(
+            shard_map(
+                shard_tower, mesh=mesh1, in_specs=(P("data"), P()),
+                out_specs=P("data"), check_vma=False,
+            )
+        )
+        with attn_ops.pallas_attention_scope(False):
+            ref = jax.jit(
+                lambda x, blk: rect_residual_block(
+                    x, blk, cfg.vision_heads, cfg.vision_seq_len
+                )
+            )(x, blk)
+        return float(
+            np.abs(np.asarray(sm(x, blk), np.float32) - np.asarray(ref, np.float32)).max()
+        )
+
+    yield ("pallas-in-shard_map (1-device mesh)", shard_map_err)
+
+
+def run_selftest(tol: float = 2e-2, retries: int = 1, verbose: bool = True) -> dict:
+    """Run every check isolated; return a results dict:
+
+    {"metric": "kernel_selftest", "value": n_passed, "total": n,
+     "checks": {name: "ok (err=..)" | "FAILED: ..."}, ...}
+
+    Never raises on a check fault — a failure is a string in ``checks``.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    results: dict = {}
+    n_pass = 0
+    t0 = time.perf_counter()
+    for name, thunk in _checks(jax, jnp, np):
+        status = None
+        for attempt in range(retries + 1):
+            try:
+                err = thunk()
+                if err < tol:
+                    status = f"ok (err={err:.2e})"
+                else:
+                    status = f"FAILED: mismatch err={err:.3e} >= tol={tol}"
+                break
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                status = f"FAILED: {type(e).__name__}: {e}"
+                if verbose:
+                    traceback.print_exc(file=sys.stderr)
+                if attempt < retries:
+                    time.sleep(2.0)  # transient axon faults clear quickly
+        results[name] = status
+        if status.startswith("ok"):
+            n_pass += 1
+        if verbose:
+            print(f"kernel selftest: {name}: {status}", file=sys.stderr)
+    return {
+        "metric": "kernel_selftest",
+        "value": n_pass,
+        "unit": "checks",
+        "total": len(results),
+        "checks": results,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "seconds": round(time.perf_counter() - t0, 1),
+    }

@@ -152,7 +152,7 @@ def shard_eval_step_tp(eval_step, mesh: Mesh):
     )
 
 
-_WARNED_SINGLE_DEVICE = False
+_WARNED_SINGLE_DEVICE: set = set()
 
 
 def resolve_tp(cfg) -> int:
@@ -160,17 +160,18 @@ def resolve_tp(cfg) -> int:
     against the visible devices.  0 = tensor parallelism off (including
     tp=1, where the knob is meaningless).  A requested tp that cannot be
     satisfied is never silent: indivisible counts raise; a single visible
-    device warns loudly once (the run proceeds single-device — the same
-    config must stay runnable on a 1-chip host), since a quietly-ignored
-    knob in the latency-bound serving regime masks a broken topology."""
+    device warns loudly once PER REQUESTED VALUE (so a long-lived sweep
+    process warns for each distinct config rather than only the first —
+    the run proceeds single-device; the same config must stay runnable on
+    a 1-chip host), since a quietly-ignored knob in the latency-bound
+    serving regime masks a broken topology."""
     tp = int(getattr(cfg.TRAIN, "TENSOR_PARALLEL", 0) or 0)
     n = jax.device_count()
     if tp < 2:
         return 0
     if n < 2:
-        global _WARNED_SINGLE_DEVICE
-        if not _WARNED_SINGLE_DEVICE:
-            _WARNED_SINGLE_DEVICE = True
+        if tp not in _WARNED_SINGLE_DEVICE:
+            _WARNED_SINGLE_DEVICE.add(tp)
             print(
                 f"(!) TRAIN.TENSOR_PARALLEL={tp} requested but only {n} "
                 "device is visible — tensor parallelism disabled, running "

@@ -17,3 +17,45 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Fast / full lanes (VERDICT r3 "do this" #7).  The heavyweight torch-oracle
+# and full-protocol tests are marked @pytest.mark.slow; a plain full-suite
+# run (`pytest tests/ -q`) skips them to keep the pre-commit lane under
+# ~5 minutes.  The full lane is unchanged and runs when ANY of:
+#   - RPO_TPU_FULL_TESTS=1 pytest tests/ -q
+#   - pytest -m slow   (just the slow ones) / -m "" (everything)
+#   - a targeted invocation naming a file or test id (running
+#     tests/test_full_protocol_parity.py directly must run it, not skip it)
+# ---------------------------------------------------------------------------
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight oracle/protocol test (full lane only)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RPO_TPU_FULL_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return  # an explicit marker expression wins
+    args = [a for a in config.args if not a.startswith("-")]
+    if any(".py" in a or "::" in a for a in args):
+        return  # targeted run: execute exactly what was asked
+    skip = pytest.mark.skip(
+        reason="slow lane (RPO_TPU_FULL_TESTS=1 or target the file to run)"
+    )
+    n = 0
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+            n += 1
+    if n:
+        print(
+            f"\n[conftest] fast lane: skipping {n} slow tests "
+            "(RPO_TPU_FULL_TESTS=1 for the full lane)"
+        )
