@@ -6,6 +6,7 @@ LayerNorm/softmax islands in place, flips should be confined to
 near-ties (tiny logit margins).
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ from rpo_tpu.models.clip import cast_params, init_clip
 from rpo_tpu.models.clip.model import CLIPConfig
 
 
+@pytest.mark.slow
 def test_bf16_rpo_argmax_stability():
     # ViT-B/16-shaped widths, shallow depth (realistic numerics regime)
     cfg = CLIPConfig(vision_layers=4, text_layers=4, image_resolution=64)

@@ -41,6 +41,7 @@ def setup():
     return cfg, params, task, prompts, frozen, train_step
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(setup):
     cfg, params, task, prompts0, frozen, train_step = setup
     rng = np.random.RandomState(0)

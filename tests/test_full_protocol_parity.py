@@ -39,6 +39,10 @@ import jax
 from .oracle import load_reference_module
 from .test_engine_e2e import REPO
 
+# full-lane only: multi-minute torch-oracle protocol cycles (CLAUDE.md lanes)
+pytestmark = pytest.mark.slow
+
+
 torch = pytest.importorskip("torch")
 
 PROMPT = "a photo of a _."

@@ -27,6 +27,7 @@ class _Input:
     PIXEL_STD = [0.5, 0.5, 0.5]
 
 
+@pytest.mark.slow
 def test_rpo_learns_separable_task():
     n_cls = 4
     # one deterministic image per class, repeated: perfectly separable

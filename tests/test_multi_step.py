@@ -27,6 +27,7 @@ def _losses(stdout: str):
     return [float(m) for m in re.findall(r"loss (\d+\.\d+) \(", stdout)]
 
 
+@pytest.mark.slow
 def test_grouped_dispatch_matches_single(tmp_path):
     out1 = str(tmp_path / "single")
     out8 = str(tmp_path / "grouped")

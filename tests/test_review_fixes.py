@@ -142,6 +142,7 @@ def test_amp_aliases_fp16():
     assert lowered("amp") == lowered("fp16")
 
 
+@pytest.mark.slow
 def test_cocoop_remat_and_chunking_equivalent():
     """The large-train-batch memory-wall escapes — remat_per_image
     (jax.checkpoint on the per-image text encoder) and the production

@@ -106,6 +106,7 @@ def test_loader_abandoned_iterator_releases_producer():
     assert len(calls) < 64
 
 
+@pytest.mark.slow
 def test_cli_resume_continues_training(tmp_path):
     """--resume picks up from the last checkpoint: 2-epoch run, then a
     4-epoch run resuming it trains only epochs 3..4 (reference RESUME
@@ -144,6 +145,7 @@ def test_explicit_checkpoint_typo_raises(tmp_path, monkeypatch):
         find_checkpoint("ViT-B/16")
 
 
+@pytest.mark.slow
 def test_cli_auto_resume_from_output_dir(tmp_path):
     """WITHOUT --resume, relaunching the same command over an output dir
     that already holds checkpoints must resume from them (Dassl

@@ -266,21 +266,29 @@ def test_resolve_tp_and_data_axis_size():
 
 def test_resolve_tp_single_device_warns(monkeypatch, capsys):
     """A requested-but-unsatisfiable tp on a 1-device host is disabled
-    LOUDLY (once), not silently — a quiet no-op in the serving regime the
-    knob exists for would mask a broken topology."""
+    LOUDLY (once per requested value — a long-lived sweep process running
+    multiple configs must warn for each distinct request, ADVICE r3), not
+    silently — a quiet no-op in the serving regime the knob exists for
+    would mask a broken topology."""
     from rpo_tpu.engine import get_cfg_default
     from rpo_tpu.parallel import tp as tpmod
 
     cfg = get_cfg_default()
     cfg.TRAIN.TENSOR_PARALLEL = 4
     monkeypatch.setattr(tpmod.jax, "device_count", lambda: 1)
-    monkeypatch.setattr(tpmod, "_WARNED_SINGLE_DEVICE", False)
+    monkeypatch.setattr(tpmod, "_WARNED_SINGLE_DEVICE", set())
     assert tpmod.resolve_tp(cfg) == 0
     assert tpmod.resolve_tp(cfg) == 0  # second call: no duplicate warning
     out = capsys.readouterr().out
     assert out.count("TRAIN.TENSOR_PARALLEL=4 requested but only 1") == 1
+    # a DIFFERENT requested value in the same process warns again
+    cfg.TRAIN.TENSOR_PARALLEL = 2
+    assert tpmod.resolve_tp(cfg) == 0
+    out = capsys.readouterr().out
+    assert out.count("TRAIN.TENSOR_PARALLEL=2 requested but only 1") == 1
 
 
+@pytest.mark.slow
 def test_tp_cli_matches_data_parallel(tmp_path):
     """Full CLI run with TRAIN.TENSOR_PARALLEL 2 (dp=4 x tp=2 over the
     8-device mesh) reproduces the default data-parallel run's losses and
@@ -321,6 +329,7 @@ def test_tp_cli_matches_data_parallel(tmp_path):
     assert a_dp == a_tp
 
 
+@pytest.mark.slow
 def test_tp_zsclip_eval_matches_data_parallel(tmp_path):
     """Eval-only ZeroshotCLIP — TP's actual target regime — under
     TRAIN.TENSOR_PARALLEL 2 reproduces the data-parallel accuracy."""

@@ -59,6 +59,7 @@ def test_text_features_match_full_tower(setup):
     )
 
 
+@pytest.mark.slow
 def test_loss_and_grads_match_full_tower(setup):
     cfg, params, task, prompts = setup
     imgs = jnp.asarray(np.random.RandomState(0).randn(3, 32, 32, 3), jnp.float32)
