@@ -269,6 +269,19 @@ def get_cfg_default() -> CfgNode:
                 # pipeline (the reference has no compile step; this hides
                 # most of ours).  Non-fatal if a prewarm fails.
                 "PREWARM_COMPILE": True,
+                # Compute the train-step forward/backward in microbatches of
+                # this size (unrolled chunk loop inside ONE loss/grad; the
+                # optimizer still sees the full-batch gradient — identical
+                # math, one SGD step).  Fixes the XLA layout regression at
+                # large batch: at B=128 the monolithic tower scan flips to a
+                # {2,0,1} activation layout and burns ~17ms/step in layout
+                # copies (1500 img/s); MICROBATCH=32 keeps each tower call at
+                # the B=32 shape XLA lays out well (1919 img/s measured,
+                # BASELINE.md r4 batch table).  0 = off (default).  Applies
+                # when 0 < MICROBATCH < batch and batch % MICROBATCH == 0.
+                # Wired for the RPO trainer (the measured case); other
+                # methods ignore it.
+                "MICROBATCH": 0,
             },
             "TEST": {
                 "EVALUATOR": "Classification",

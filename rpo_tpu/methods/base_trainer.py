@@ -154,17 +154,56 @@ class CLIPMethodTrainer(TrainerBase):
     def build_method(self) -> None:
         raise NotImplementedError
 
-    def _make_train_step(self, logits_fn):
+    def _make_train_step(self, logits_fn, microbatch=0, precompute=None):
         """Standard training step over ``logits_fn(params, frozen,
         images_u8) -> (B, n_cls)``: masked cross-entropy (padded rows
         carry zero weight), grads w.r.t. the trainable pytree only,
         torch-exact SGD, masked top-1 accuracy.  Every method trainer's
-        step is this algebra around its own logits call — one copy."""
+        step is this algebra around its own logits call — one copy.
+
+        ``microbatch`` (cfg.TRAIN.MICROBATCH): compute the forward in
+        unrolled chunks of that size inside the ONE loss/grad — the
+        optimizer still sees the full-batch gradient, so the math is the
+        per-row-identical monolithic step.  This exists because at large
+        batch XLA flips the tower scan's activation layout ({2,0,1} at
+        B=128) and burns ~17 ms/step in layout-change copies; chunked
+        tower calls stay at the small-batch shape it lays out well
+        (B=128: 1500 -> 1919 img/s on TPU v5e, BASELINE.md r4).  When
+        set, ``logits_fn`` takes a 4th argument ``ctx`` — per-step work
+        shared across chunks (e.g. RPO's text tower), produced once by
+        ``precompute(params, frozen)`` (None when no precompute).
+        Chunking only engages for batches it divides evenly; other
+        shapes (e.g. the protocol's batch 4) trace the monolithic path.
+        """
         from rpo_tpu.engine.optim import sgd_update
+
+        mb = int(microbatch)
+
+        def batch_logits(p, frozen, images_u8):
+            leaves = images_u8["img"] if isinstance(images_u8, dict) else images_u8
+            B = leaves.shape[0]
+            if not 0 < mb < B or B % mb:
+                if precompute is None:
+                    return logits_fn(p, frozen, images_u8)
+                return logits_fn(p, frozen, images_u8, precompute(p, frozen))
+            ctx = None if precompute is None else precompute(p, frozen)
+            parts = []
+            for i in range(B // mb):
+                sl = lambda t: t[i * mb:(i + 1) * mb]
+                chunk = (
+                    jax.tree_util.tree_map(sl, images_u8)
+                    if isinstance(images_u8, dict) else sl(images_u8)
+                )
+                parts.append(
+                    logits_fn(p, frozen, chunk)
+                    if precompute is None
+                    else logits_fn(p, frozen, chunk, ctx)
+                )
+            return jnp.concatenate(parts, axis=0)
 
         def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
             def loss_fn(p):
-                logits = logits_fn(p, frozen, images_u8)
+                logits = batch_logits(p, frozen, images_u8)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
                 return jnp.sum(nll * mask) / jnp.sum(mask), logits

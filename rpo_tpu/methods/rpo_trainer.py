@@ -47,10 +47,20 @@ class RPO(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = core.make_frozen(self.clip_params, task)
 
+        # TRAIN.MICROBATCH chunks the vision tower inside one loss/grad
+        # (large-batch layout fix, base_trainer._make_train_step); the text
+        # tower is the shared per-step work, precomputed ONCE and threaded
+        # through as ctx.  Gradient flows through it either way — it is
+        # produced inside loss_fn from the live params.
         train_step = self._make_train_step(
-            lambda p, frozen, images_u8: core.rpo_logits(
-                p, frozen, task, normalize(images_u8), split_vision=True
-            )
+            lambda p, frozen, images_u8, text_f: core.rpo_logits(
+                p, frozen, task, normalize(images_u8),
+                text_f=text_f, split_vision=True,
+            ),
+            microbatch=int(cfg.TRAIN.MICROBATCH),
+            precompute=lambda p, frozen: core.encode_text_with_prompts(
+                p, frozen, task
+            ),
         )
 
         def text_features(params, frozen):

@@ -1,0 +1,113 @@
+"""TRAIN.MICROBATCH (chunked forward inside one loss/grad) must be
+numerically equivalent to the monolithic train step.
+
+The knob exists purely as a large-batch XLA layout fix (BASELINE.md r4:
+B=128 1500 -> 1919 img/s on TPU v5e); the math is the same full-batch
+gradient, so loss / accuracy / updated params must match the monolithic
+step to fp32 reassociation tolerance.
+"""
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpo_tpu.engine.optim import sgd_init
+from rpo_tpu.methods import rpo as core
+from rpo_tpu.methods.base_trainer import CLIPMethodTrainer
+from rpo_tpu.models.clip import ARCHS, init_clip
+
+from .test_engine_e2e import run_cli
+
+
+class _Host:
+    """Just the SGD hyperparameters _make_train_step reads off self."""
+
+    _momentum = 0.9
+    _weight_decay = 5e-4
+    _nesterov = False
+    _dampening = 0.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ARCHS["TINY"]
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    classnames = [f"thing {i}" for i in range(6)]
+    task = core.make_task(cfg, classnames, "a photo of a _.", 3)
+    prompts = core.init_prompts(jax.random.PRNGKey(1), params, cfg, 3)
+    frozen = core.make_frozen(params, task)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 6, size=8), jnp.int32)
+    mask = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)  # padded rows
+    return task, prompts, frozen, imgs, labels, mask
+
+
+def _make_step(task, microbatch):
+    logits_fn = lambda p, frozen, images, text_f: core.rpo_logits(
+        p, frozen, task, images, text_f=text_f, split_vision=True
+    )
+    precompute = lambda p, frozen: core.encode_text_with_prompts(p, frozen, task)
+    return jax.jit(
+        CLIPMethodTrainer._make_train_step(
+            _Host(), logits_fn, microbatch=microbatch, precompute=precompute
+        )
+    )
+
+
+@pytest.mark.parametrize("mb", [4, 2, 3, 8, 16])
+def test_microbatch_step_matches_monolithic(setup, mb):
+    """mb=4/2 engage chunking; mb=3 (indivisible), 8 (== B) and 16 (> B)
+    must fall back to the monolithic trace — all five produce the same
+    step."""
+    task, prompts, frozen, imgs, labels, mask = setup
+    lr = jnp.float32(0.1)
+    mono = _make_step(task, 0)
+    chunked = _make_step(task, mb)
+    p0, o0 = prompts, sgd_init(prompts)
+    p1, o1, l1, a1 = mono(dict(p0), o0, frozen, imgs, labels, mask, lr)
+    p2, o2, l2, a2 = chunked(dict(p0), sgd_init(prompts), frozen, imgs,
+                             labels, mask, lr)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    assert float(a1) == pytest.approx(float(a2))
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p2[key]), atol=1e-5, rtol=0,
+            err_msg=f"param mismatch for {key} at microbatch={mb}",
+        )
+
+
+def _losses(stdout: str):
+    return [float(m) for m in re.findall(r"loss (\d+\.\d+) \(", stdout)]
+
+
+@pytest.mark.slow
+def test_cli_trajectory_matches(tmp_path):
+    """Full production wiring: 2-epoch TINY RPO run with and without
+    TRAIN.MICROBATCH produces the same loss trajectory and accuracy."""
+    args = [
+        "--seed", "1",
+        "--trainer", "RPO",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", "configs/trainers/RPO/main.yaml",
+        "DATASET.NUM_SHOTS", "4",
+        "OPTIM.MAX_EPOCH", "2",
+        "MODEL.BACKBONE.NAME", "TINY",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+        "DATALOADER.TEST.BATCH_SIZE", "16",
+        "TRAINER.RPO.PREC", "fp32",
+        "TRAIN.PRINT_FREQ", "1",
+    ]
+    s0 = run_cli(["--output-dir", str(tmp_path / "mono")] + args
+                 + ["TRAIN.MICROBATCH", "0"])
+    s4 = run_cli(["--output-dir", str(tmp_path / "mb4")] + args
+                 + ["TRAIN.MICROBATCH", "4"])
+    l0, l4 = _losses(s0), _losses(s4)
+    assert len(l0) == len(l4) > 0
+    np.testing.assert_allclose(l0, l4, rtol=1e-4, atol=1e-5)
+    a0 = re.search(r"\* accuracy: ([\.\d]+)%", s0).group(1)
+    a4 = re.search(r"\* accuracy: ([\.\d]+)%", s4).group(1)
+    assert a0 == a4
