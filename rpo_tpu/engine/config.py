@@ -280,7 +280,10 @@ def get_cfg_default() -> CfgNode:
                 # BASELINE.md r4 batch table).  0 = off (default).  Applies
                 # when 0 < MICROBATCH < batch and batch % MICROBATCH == 0.
                 # Wired for the RPO trainer (the measured case); other
-                # methods ignore it.
+                # methods ignore it.  Single-device-regime knob: ignored
+                # (loudly) when the batch is sharded over a data-parallel
+                # mesh — per-device batches are already small there, and
+                # global-row chunks would fight the sharding.
                 "MICROBATCH": 0,
             },
             "TEST": {

@@ -52,12 +52,32 @@ class RPO(CLIPMethodTrainer):
         # tower is the shared per-step work, precomputed ONCE and threaded
         # through as ctx.  Gradient flows through it either way — it is
         # produced inside loss_fn from the live params.
+        mb = int(cfg.TRAIN.MICROBATCH)
+        if mb > 0:
+            from rpo_tpu.parallel.tp import data_axis_size
+
+            dp = data_axis_size(cfg)
+            if dp > 1:
+                # Under data parallelism the batch arg is sharded on axis 0
+                # (blocks of B/dp rows per device), so a global-row chunk
+                # slice either crosses shard boundaries (GSPMD inserts
+                # gathers) or maps whole chunks to device subsets and
+                # serializes the mesh.  The per-device batch is B/dp —
+                # already in the small-batch regime the knob exists to
+                # restore — so chunking buys nothing there anyway.
+                print(
+                    f"TRAIN.MICROBATCH={mb} ignored: batch is sharded over "
+                    f"{dp} data-parallel devices (per-device batch is "
+                    "already small; global-row chunks would fight the "
+                    "sharding)"
+                )
+                mb = 0
         train_step = self._make_train_step(
             lambda p, frozen, images_u8, text_f: core.rpo_logits(
                 p, frozen, task, normalize(images_u8),
                 text_f=text_f, split_vision=True,
             ),
-            microbatch=int(cfg.TRAIN.MICROBATCH),
+            microbatch=mb,
             precompute=lambda p, frozen: core.encode_text_with_prompts(
                 p, frozen, task
             ),

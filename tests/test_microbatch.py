@@ -83,6 +83,34 @@ def _losses(stdout: str):
     return [float(m) for m in re.findall(r"loss (\d+\.\d+) \(", stdout)]
 
 
+def test_microbatch_ignored_under_data_parallel(tmp_path):
+    """On a multi-device mesh the batch is sharded on axis 0, so the
+    global-row chunk slices would fight the sharding (gathers / idle
+    devices); the RPO trainer must disable the knob LOUDLY and train
+    normally (rpo_trainer.build_method dp guard).  run_cli inherits the
+    conftest's 8-virtual-CPU-device XLA flag, so the CLI subprocess
+    builds the data-parallel mesh."""
+    out = run_cli([
+        "--output-dir", str(tmp_path / "dp"),
+        "--seed", "1",
+        "--trainer", "RPO",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", "configs/trainers/RPO/main.yaml",
+        "DATASET.NUM_SHOTS", "4",
+        "OPTIM.MAX_EPOCH", "1",
+        "MODEL.BACKBONE.NAME", "TINY",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+        "TRAINER.RPO.PREC", "fp32",
+        "TRAIN.MICROBATCH", "4",
+    ])
+    assert "Multiple devices detected" in out, (
+        "test precondition: the CLI subprocess must see the 8-device mesh"
+    )
+    assert "TRAIN.MICROBATCH=4 ignored" in out
+    assert "Finish training" in out
+
+
 @pytest.mark.slow
 def test_cli_trajectory_matches(tmp_path):
     """Full production wiring: 2-epoch TINY RPO run with and without
