@@ -138,7 +138,12 @@ def main() -> None:
         try:
             from rpo_tpu.ops.selftest import run_selftest
 
-            out = run_selftest(tol=2e-2, retries=1, verbose=True)
+            # reuse the bench's own CLIP objects — the selftest would
+            # otherwise build a second ~300MB device pytree for its
+            # whole-layer checks
+            out = run_selftest(
+                tol=2e-2, retries=1, verbose=True, frozen=frozen, task=task
+            )
         except Exception as e:  # even the harness itself must not kill timing
             return f"failed: selftest harness error: {type(e).__name__}: {e}"
         if out["value"] == out["total"]:
@@ -334,6 +339,10 @@ def main() -> None:
     # under a wall-clock budget, each isolated: a method failure becomes a
     # string in the JSON, never an rc=1.  RPO_TPU_BENCH_METHODS=0 skips
     # (the quick single-metric mode).
+    # NOTE: the budget is a launch gate, not a preemption — it is checked
+    # before starting each method, so one in-flight method can overshoot
+    # (e.g. a multi-minute compile-service stall); methods that have not
+    # started yet are skipped with a "skipped: budget" string.
     methods_extras: dict = {}
     if os.environ.get("RPO_TPU_BENCH_METHODS", "1") != "0":
         budget_s = float(os.environ.get("RPO_TPU_BENCH_BUDGET_S", "1500"))

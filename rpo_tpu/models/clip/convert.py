@@ -76,8 +76,17 @@ def normalize_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
         if not hasattr(v, "shape"):
             continue  # scalar metadata (epoch counters etc.)
         out[k] = _np(v)
-    if any(k.startswith("text_model.") for k in out):
-        out = remap_hf_state_dict(out)
+    if any(k.startswith(("text_model.", "vision_model.")) for k in out):
+        try:
+            out = remap_hf_state_dict(out)
+        except KeyError as e:
+            raise ValueError(
+                "checkpoint looks like a HuggingFace CLIP export but is "
+                f"missing required key {e}. Partial exports (e.g. "
+                "CLIPVisionModel / CLIPTextModel) are not loadable — a "
+                "full transformers.CLIPModel state dict with both towers "
+                "and the projection heads is required."
+            ) from e
     return out
 
 
@@ -155,6 +164,15 @@ def remap_hf_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def infer_config(sd: Dict[str, np.ndarray]) -> CLIPConfig:
     """Infer architecture hyperparameters from state-dict shapes
     (behavioral mirror of /root/reference/clip/model.py:403-427)."""
+    if "ln_final.weight" not in sd:
+        raise ValueError(
+            "not a recognizable CLIP checkpoint (no 'ln_final.weight' "
+            "after layout normalization). Supported variants: the OpenAI "
+            "TorchScript/state-dict pickle, open_clip/torch training "
+            "envelopes, full HF transformers.CLIPModel state dicts, and "
+            "HF safetensors. Sample keys: "
+            f"{sorted(sd)[:5]}"
+        )
     text_width = sd["ln_final.weight"].shape[0]
     if "visual.proj" not in sd:  # ModifiedResNet backbone
         counts = tuple(

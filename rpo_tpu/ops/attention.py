@@ -96,7 +96,11 @@ def use_pallas_attention() -> bool:
         # the GSPMD partitioner cannot split a Pallas custom call over the
         # tensor-parallel mesh axis; the XLA lowering is what it knows
         return False
-    return _flag() and jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False  # the Mosaic kernels are TPU-only
+    if _ENV == "1":
+        return True  # explicit force-on beats any thread-local default
+    return _flag()
 
 
 def dot_product_attention(

@@ -31,19 +31,26 @@ import time
 import traceback
 
 
-def _checks(jax, jnp, np):
+def _checks(jax, jnp, np, frozen=None, task=None):
     """Yield (name, thunk) pairs; each thunk returns a max-abs-err float
-    and asserts nothing — the runner owns tolerance + isolation."""
+    and asserts nothing — the runner owns tolerance + isolation.
+
+    ``frozen``/``task`` may be passed by a caller that already holds the
+    full-size CLIP objects (bench.py's gate) to avoid building a second
+    ~300MB device pytree just for the whole-layer checks."""
     from rpo_tpu.methods import rpo as core
     from rpo_tpu.models.clip import VIT_B16, cast_params, init_clip
     from rpo_tpu.ops import attention as attn_ops
 
     cfg = VIT_B16
-    N_CLS, K = 51, 24
-    S = cfg.vision_seq_len + K  # 221
+    if task is None or frozen is None:
+        classnames = [f"object category {i}" for i in range(51)]
+        task = core.make_task(cfg, classnames, "a photo of a _.", 24)
+        params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+        frozen = core.make_frozen(params, task)
+    N_CLS, K = len(task.len_prompts), int(task.K)
+    S = cfg.vision_seq_len + K  # 221 at the production K=24
     r = np.random.RandomState(7)
-    classnames = [f"object category {i}" for i in range(N_CLS)]
-    task = core.make_task(cfg, classnames, "a photo of a _.", K)
 
     def qkv(B, H, Lq, Lk, D, dtype=jnp.bfloat16):
         q = jnp.asarray(r.randn(B, H, Lq, D), dtype)
@@ -138,9 +145,6 @@ def _checks(jax, jnp, np):
 
     # whole-layer check: the rect residual block (eval hot path) with the
     # REAL parameter structure, pallas vs xla
-    params = cast_params(init_clip(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
-    frozen = core.make_frozen(params, task)
-
     def tower_err():
         from rpo_tpu.models.clip.layers import rect_residual_block
 
@@ -202,7 +206,13 @@ def _checks(jax, jnp, np):
     yield ("pallas-in-shard_map (1-device mesh)", shard_map_err)
 
 
-def run_selftest(tol: float = 2e-2, retries: int = 1, verbose: bool = True) -> dict:
+def run_selftest(
+    tol: float = 2e-2,
+    retries: int = 1,
+    verbose: bool = True,
+    frozen=None,
+    task=None,
+) -> dict:
     """Run every check isolated; return a results dict:
 
     {"metric": "kernel_selftest", "value": n_passed, "total": n,
@@ -218,7 +228,7 @@ def run_selftest(tol: float = 2e-2, retries: int = 1, verbose: bool = True) -> d
     results: dict = {}
     n_pass = 0
     t0 = time.perf_counter()
-    for name, thunk in _checks(jax, jnp, np):
+    for name, thunk in _checks(jax, jnp, np, frozen=frozen, task=task):
         status = None
         for attempt in range(retries + 1):
             try:

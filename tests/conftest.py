@@ -26,9 +26,10 @@ import pytest  # noqa: E402
 # run (`pytest tests/ -q`) skips them to keep the pre-commit lane under
 # ~5 minutes.  The full lane is unchanged and runs when ANY of:
 #   - RPO_TPU_FULL_TESTS=1 pytest tests/ -q
-#   - pytest -m slow   (just the slow ones) / -m "" (everything)
-#   - a targeted invocation naming a file or test id (running
-#     tests/test_full_protocol_parity.py directly must run it, not skip it)
+#   - pytest -m slow   (just the slow ones) / -m "slow or not slow" (all)
+#   - a targeted invocation naming a file, test id, or -k expression
+#     (running tests/test_full_protocol_parity.py or -k <slow test name>
+#     directly must run it, not skip it)
 # ---------------------------------------------------------------------------
 
 
@@ -43,6 +44,8 @@ def pytest_collection_modifyitems(config, items):
         return
     if config.getoption("-m"):
         return  # an explicit marker expression wins
+    if config.getoption("-k"):
+        return  # tests explicitly selected by name must run, not skip
     args = [a for a in config.args if not a.startswith("-")]
     if any(".py" in a or "::" in a for a in args):
         return  # targeted run: execute exactly what was asked

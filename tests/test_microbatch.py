@@ -57,17 +57,28 @@ def _make_step(task, microbatch):
     )
 
 
+@pytest.fixture(scope="module")
+def mono_result(setup):
+    """One monolithic-step run shared by every parametrized case (the
+    mono trace is identical across cases; rebuilding it per case costs
+    ~5 redundant XLA compiles on the fast lane)."""
+    task, prompts, frozen, imgs, labels, mask = setup
+    mono = _make_step(task, 0)
+    lr = jnp.float32(0.1)
+    return mono(dict(prompts), sgd_init(prompts), frozen, imgs, labels,
+                mask, lr)
+
+
 @pytest.mark.parametrize("mb", [4, 2, 3, 8, 16])
-def test_microbatch_step_matches_monolithic(setup, mb):
+def test_microbatch_step_matches_monolithic(setup, mono_result, mb):
     """mb=4/2 engage chunking; mb=3 (indivisible), 8 (== B) and 16 (> B)
     must fall back to the monolithic trace — all five produce the same
     step."""
     task, prompts, frozen, imgs, labels, mask = setup
     lr = jnp.float32(0.1)
-    mono = _make_step(task, 0)
     chunked = _make_step(task, mb)
-    p0, o0 = prompts, sgd_init(prompts)
-    p1, o1, l1, a1 = mono(dict(p0), o0, frozen, imgs, labels, mask, lr)
+    p0 = prompts
+    p1, o1, l1, a1 = mono_result
     p2, o2, l2, a2 = chunked(dict(p0), sgd_init(prompts), frozen, imgs,
                              labels, mask, lr)
     assert abs(float(l1) - float(l2)) < 1e-5
