@@ -174,7 +174,7 @@ def main() -> None:
     jax.block_until_ready(loss)
     train_compile_s = time.perf_counter() - t_c
 
-    # Best of 3 timing passes: host dispatch rides a shared tunnel on this
+    # Best of 5 timing passes: host dispatch rides a shared tunnel on this
     # environment whose latency varies minute-to-minute; the fastest pass
     # is the least-contended measurement of the same fixed device program.
     # Pass boundaries end with a HOST TRANSFER, not block_until_ready —
@@ -182,7 +182,7 @@ def main() -> None:
     # (CLAUDE.md), which would let one pass's tail leak into the next.
     n_steps = 50
     train_passes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             prompts, opt_state, loss = train_jit(
@@ -202,7 +202,7 @@ def main() -> None:
     logits = jax.block_until_ready(eval_jit(prompts, frozen, text_f, eimgs))
     n_eval = 20
     eval_passes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_eval):
             logits = eval_jit(prompts, frozen, text_f, eimgs)
