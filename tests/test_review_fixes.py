@@ -355,3 +355,32 @@ def test_loader_prefetch_zero_is_bounded(tmp_path):
                          num_workers=1, prefetch=0)
     batches = list(loader)
     assert sum(b["n"] for b in batches) == len(items)
+
+
+def test_override_pallas_attention_precedence():
+    """bench.py's hardened gate downgrades every subsequently-traced
+    program to the XLA path via override_pallas_attention("0") — the
+    override must beat a thread-local scope that asks for Pallas, and
+    override(None) must restore env control (attention.py r4)."""
+    from rpo_tpu.ops import attention as attn_ops
+
+    assert not attn_ops.use_pallas_attention()  # cpu backend default-off
+    try:
+        with attn_ops.pallas_attention_scope(True):
+            # scope alone: still off on the cpu backend (Mosaic is TPU-only)
+            assert not attn_ops.use_pallas_attention()
+        attn_ops.override_pallas_attention("0")
+        with attn_ops.pallas_attention_scope(True):
+            # the scope is a no-op while the override forces the XLA path:
+            # _ENV == "0" wins before any thread-local state is consulted
+            assert not attn_ops.use_pallas_attention()
+            # and the scope must not have installed a lingering TLS value
+            # that would outlive the override (it yields without setting)
+        attn_ops.override_pallas_attention(None)
+        # env control restored: _ENV re-reads the real environment
+        import os as _os
+
+        assert attn_ops._ENV == _os.environ.get("RPO_TPU_PALLAS_ATTENTION", "")
+        assert not attn_ops.use_pallas_attention()
+    finally:
+        attn_ops.override_pallas_attention(None)
