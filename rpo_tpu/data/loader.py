@@ -59,18 +59,25 @@ class BatchLoader:
     def num_items(self) -> int:
         return len(self.items)
 
-    def _make_batch(self, batch_items: List[Datum]) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, batch_items: List[Datum], rng=None
+    ) -> Dict[str, np.ndarray]:
         if self.train and getattr(self.transform, "device_resize", 0):
-            return self._make_device_augment_batch(batch_items)
+            return self._make_device_augment_batch(batch_items, rng=rng)
         imgs = self._native_eval_batch(batch_items)
         if imgs is None:
-            # Augmentation randomness is drawn HERE, sequentially, so that
-            # seeded runs are deterministic; the pool only decodes/resizes.
-            # Eval batches draw no plans (make_plan(train=False) is None
-            # by contract) and never hit the native TRAIN kernel.
+            # Augmentation randomness is drawn HERE, sequentially in item
+            # order, from the PRIVATE per-epoch ``rng`` (seeded once from
+            # the global stream on the consumer thread at __iter__ time) —
+            # the pool only decodes/resizes, and NO producer-side code
+            # ever touches the seeded global stream.  Eval batches draw
+            # no plans (make_plan(train=False) is None by contract) and
+            # never hit the native TRAIN kernel.
             has_plan = self.train and hasattr(self.transform, "make_plan")
             plans = [
-                self.transform.make_plan(it.impath, True) if has_plan else None
+                self.transform.make_plan(it.impath, True, rng=rng)
+                if has_plan
+                else None
                 for it in batch_items
             ]
             imgs = (
@@ -100,7 +107,7 @@ class BatchLoader:
         return {"img": out_img, "label": out_lab, "mask": out_mask, "n": n}
 
     def _make_device_augment_batch(
-        self, batch_items: List[Datum]
+        self, batch_items: List[Datum], rng=None
     ) -> Dict[str, np.ndarray]:
         """Device-augment train path (INPUT.DEVICE_RESIZE): raw (S, S, 3)
         uint8 sources + the host-sampled crop boxes/flips; the
@@ -113,9 +120,10 @@ class BatchLoader:
         # one header read per image: the size feeds both the RRC plan and
         # the exact-source check (make_plan would otherwise re-read it)
         sizes = [tp.image_size(it.impath) for it in batch_items]
-        # randomness drawn sequentially, exactly like the host path
+        # randomness drawn sequentially from the per-epoch private rng,
+        # exactly like the host path
         plans = [
-            tp.make_plan(it.impath, True, size=sz)
+            tp.make_plan(it.impath, True, size=sz, rng=rng)
             for it, sz in zip(batch_items, sizes)
         ]
         # RRC boxes are sampled in ORIGINAL coordinates (transforms.py
@@ -270,11 +278,17 @@ class BatchLoader:
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        # An abandoned epoch's producer may still be inside an in-flight
-        # _make_batch (it only notices abandonment between batches); its
-        # remaining global-`random` draws (shuffle, make_plan) would
-        # interleave with this epoch's and break seeded determinism — wait
-        # it out before drawing anything.
+        # Thread hygiene: an abandoned epoch's producer may still be
+        # inside an in-flight _make_batch (it only notices abandonment
+        # between batches).  Joining it here bounds the loader to one
+        # live producer thread + one prefetch queue, and lets a
+        # still-active old consumer get a loud error instead of a silent
+        # deadlock.  Determinism does NOT depend on this join: all seeded
+        # global-`random` draws happen below on THIS (consumer) thread,
+        # and the producer only ever draws from its private per-epoch
+        # Random — an abandoned producer's remaining draws land in its
+        # own dead stream (pinned by test_abandoned_producer_draws_zero_
+        # global_randomness).
         prev = getattr(self, "_producer", None)
         if prev is not None and prev.is_alive():
             # mark the old epoch abandoned first: a consumer that merely
@@ -302,6 +316,13 @@ class BatchLoader:
                 )
             )
         order = self._order()
+        # ALL seeded randomness for this epoch is fixed right here, on the
+        # consumer thread: the shuffle above plus ONE seed draw.  The
+        # producer receives a private Random and draws every per-image
+        # plan from it sequentially in item order, so the global stream
+        # advances by exactly (shuffle + 1) per epoch regardless of
+        # producer/pool scheduling — seeded determinism by construction.
+        epoch_rng = random.Random(random.getrandbits(64))
         chunks = [
             [self.items[j] for j in order[i : i + self.batch_size]]
             for i in range(0, len(order), self.batch_size)
@@ -332,7 +353,7 @@ class BatchLoader:
         def producer():
             try:
                 for chunk in chunks:
-                    if not put(self._make_batch(chunk)):
+                    if not put(self._make_batch(chunk, rng=epoch_rng)):
                         return
                 put(stop)
             except BaseException as exc:  # propagate to the consumer —

@@ -83,19 +83,23 @@ def sample_rrc_box(
     h: int,
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    rng=random,
 ) -> Tuple[int, int, int, int]:
-    """torchvision RandomResizedCrop box sampling (host random RNG).
+    """torchvision RandomResizedCrop box sampling.  ``rng`` is any object
+    with the ``random.Random`` draw API (defaults to the global module;
+    the loader passes a private per-epoch Random so producer threads
+    never touch the seeded global stream).
     Returns (left, top, crop_w, crop_h)."""
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
-        target_area = area * random.uniform(*scale)
-        aspect = math.exp(random.uniform(*log_ratio))
+        target_area = area * rng.uniform(*scale)
+        aspect = math.exp(rng.uniform(*log_ratio))
         cw = int(round(math.sqrt(target_area * aspect)))
         ch = int(round(math.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            left = random.randint(0, w - cw)
-            top = random.randint(0, h - ch)
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
             return left, top, cw, ch
     # fallback: center crop to in-range aspect
     in_ratio = w / h
@@ -172,13 +176,19 @@ class TransformPipeline:
         with Image.open(impath) as img:
             return img.size
 
-    def make_plan(self, impath: str, train: bool, size=None):
-        """Draw ALL augmentation randomness for one image, sequentially.
+    def make_plan(self, impath: str, train: bool, size=None, rng=None):
+        """Draw ALL augmentation randomness for one image.
 
-        Must be called from a single thread in deterministic item order:
-        this is what keeps seeded runs reproducible even though the
-        decode/resize work itself fans out to a thread pool (or the C++
-        pipeline) in arbitrary order.
+        Must be called in deterministic item order against a given
+        ``rng`` stream: this is what keeps seeded runs reproducible even
+        though the decode/resize work itself fans out to a thread pool
+        (or the C++ pipeline) in arbitrary order.  ``rng`` is any object
+        with the ``random.Random`` draw API; None means the global
+        module (direct/test callers).  The loader hands its producer a
+        PRIVATE per-epoch ``random.Random`` seeded once from the global
+        stream on the consumer thread, so seeded determinism holds by
+        construction — an abandoned producer's in-flight draws come from
+        its own dead stream and can never interleave with a new epoch's.
 
         Plan: (box_or_None, flip).  Dassl applies random_flip
         independently of random_resized_crop, so flip is drawn whenever
@@ -188,6 +198,8 @@ class TransformPipeline:
         """
         if not train or not (self.use_rrc or self.use_flip):
             return None
+        if rng is None:
+            rng = random
         box = None
         if self.use_rrc:
             # ALWAYS sampled in ORIGINAL image coordinates, so the crop
@@ -199,8 +211,8 @@ class TransformPipeline:
             # (raw_source(box=...)) — a center-cropped source would never
             # see the edge content of non-square images.
             w, h = size if size is not None else self.image_size(impath)
-            box = sample_rrc_box(w, h, self.scale)
-        flip = bool(self.use_flip and random.random() < 0.5)
+            box = sample_rrc_box(w, h, self.scale, rng=rng)
+        flip = bool(self.use_flip and rng.random() < 0.5)
         return (box, flip)
 
     def raw_source(self, impath: str, box=None) -> np.ndarray:
