@@ -351,9 +351,10 @@ def main() -> None:
             ("zsclip", bench_zsclip),
             ("lp", bench_lp),
             ("coop", bench_coop),
-            # embedded run: protocol batch 1 + one vmapped point (the full
-            # 1/4/8/32 curve stays in `bench.py --method cocoop`)
-            ("cocoop", lambda: bench_cocoop(batches=(1, 8))),
+            # embedded run: protocol batch 1 + the vmapped point + the
+            # grad-accum large-batch point (the full 1/4/8/32 curve stays
+            # in `bench.py --method cocoop`)
+            ("cocoop", lambda: bench_cocoop(batches=(1, 8, 32))),
         ]
         for name, fn in order:
             if time.perf_counter() - t_methods > budget_s:
@@ -528,6 +529,66 @@ def _ce_train_step_factory(logits_fn, momentum=0.9, weight_decay=5e-4):
     return train_step
 
 
+def _encode_image_f32(clip_params, cfg, images):
+    from rpo_tpu.models.clip import encode_image
+
+    import jax.numpy as jnp
+
+    return encode_image(clip_params, cfg, images).astype(jnp.float32)
+
+
+def _ce_gradaccum_step_factory(
+    precompute_fn, chunk_logits_fn, chunk_size, momentum=0.9, weight_decay=5e-4
+):
+    """The CLIPMethodTrainer._make_grad_accum_train_step algebra,
+    standalone (unmasked mean CE, matching _ce_train_step_factory): exact
+    per-chunk value_and_grad accumulated in a lax.scan with a tiny grad
+    carry — one chunk's residuals live at a time, zero recompute."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpo_tpu.engine.optim import sgd_update
+
+    def train_step(params, opt_state, frozen, images_u8, labels, lr):
+        batch_ctx = precompute_fn(frozen, images_u8)
+        B = jax.tree_util.tree_leaves(batch_ctx)[0].shape[0]
+        c = max(1, min(int(chunk_size), B))
+        while B % c:
+            c -= 1
+        nc = B // c
+
+        def split(t):
+            return t.reshape((nc, c) + t.shape[1:])
+
+        ctx_cs = jax.tree_util.tree_map(split, batch_ctx)
+        lab_cs = split(labels)
+
+        def chunk_loss(p, ctx_c, lab_c):
+            logits = chunk_logits_fn(p, frozen, ctx_c)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.take_along_axis(logp, lab_c[:, None], axis=-1).sum()
+
+        gfun = jax.value_and_grad(chunk_loss)
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(carry, xs):
+            acc_g, lsum = carry
+            l, g = gfun(params, *xs)
+            return (jax.tree_util.tree_map(jnp.add, acc_g, g), lsum + l), None
+
+        (grads, loss_sum), _ = jax.lax.scan(
+            body, (zero, jnp.float32(0.0)), (ctx_cs, lab_cs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / B, grads)
+        params, opt_state = sgd_update(
+            params, grads, opt_state, lr, momentum=momentum,
+            weight_decay=weight_decay,
+        )
+        return params, opt_state, loss_sum / B
+
+    return train_step
+
+
 def _bench_train(train_jit, params, opt_state, frozen, imgs, labels, lr, n_steps=50):
     import time as _t
 
@@ -629,7 +690,7 @@ def bench_coop() -> dict:
     }
 
 
-def bench_cocoop(batches=(1, 4, 8, 32)) -> dict:
+def bench_cocoop(batches=(1, 4, 8, 32, 64)) -> dict:
     """CoCoOp at the protocol config (vit_b16_c4_ep10_batch1: batch 1,
     N_CTX 4) AND at vmapped batches — the reference's per-image loop
     design pins it to batch 1; the vmapped formulation removes that
@@ -659,19 +720,26 @@ def bench_cocoop(batches=(1, 4, 8, 32)) -> dict:
     per_batch = {}
     compile_s = {}
     for B in batches:
-        # B >= 16 OOMs a 16GB v5e chip plain (B x n_cls x 77 stashed
-        # text-tower activations).  remat alone is NOT enough: the
-        # checkpointed per-image recompute still materializes per-layer
-        # scan residuals for all vmapped images at once.  remat + chunked
-        # lax.map bounds the peak to one chunk's recompute (the chunks'
-        # backwards run serially, each holding only its own residuals).
-        remat = B >= 16
-        chunk = 8 if B >= 16 else 0
-        train_step = _ce_train_step_factory(
-            lambda p, fz, imgs, _r=remat, _c=chunk: cocoop.cocoop_logits(
-                p, fz["clip"], task, normalize(imgs), chunk=_c, remat_per_image=_r
+        # Mirrors the trainer's measured policy (methods/cocoop.py): small
+        # batches run one plain vmap; B >= 16 switches to exact gradient
+        # accumulation over image-chunks (scan with a tiny grad carry, one
+        # chunk's text-tower residuals live at a time, zero remat
+        # recompute) — the r5 fix that holds the B=8 peak at any batch
+        # (B=32 326 -> 421 img/s on v5e; BASELINE.md r5).
+        if B >= 16:
+            train_step = _ce_gradaccum_step_factory(
+                lambda fz, imgs: _encode_image_f32(fz["clip"], task.cfg, normalize(imgs)),
+                lambda p, fz, imf_c: cocoop.cocoop_logits(
+                    p, fz["clip"], task, None, image_features=imf_c
+                ),
+                chunk_size=8,
             )
-        )
+        else:
+            train_step = _ce_train_step_factory(
+                lambda p, fz, imgs: cocoop.cocoop_logits(
+                    p, fz["clip"], task, normalize(imgs)
+                )
+            )
         imgs = jnp.asarray(rng.randint(0, 256, size=(B, 224, 224, 3)), jnp.uint8)
         labels = jnp.asarray(rng.randint(0, N_CLS, size=B), jnp.int32)
         steps_per_sec, c_s = _bench_train(

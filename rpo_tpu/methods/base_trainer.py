@@ -219,6 +219,78 @@ class CLIPMethodTrainer(TrainerBase):
 
         return train_step
 
+    def _make_grad_accum_train_step(self, precompute_fn, chunk_logits_fn, chunk_size):
+        """Exact gradient accumulation over image-chunks inside ONE jitted
+        step.  Masked cross-entropy is row-separable, so the full-batch
+        gradient is the SUM of per-chunk gradients of sum(nll*mask): each
+        chunk's backward runs right after its forward inside a lax.scan
+        whose carry is just the (tiny) trainable-grad pytree — peak
+        memory is ONE chunk's residuals with ZERO recompute.  This is the
+        CoCoOp large-batch answer: remat pays +1 text-tower forward
+        (B=32: 427 -> 326 img/s on v5e), the monolithic no-remat stash
+        degrades with B (345 at B=32), grad accumulation holds the B=8
+        peak at any batch (B=32 421, B=64 433, B=128 429 — BASELINE.md
+        r5).  Scan beats an unrolled loop HERE (282 at B=32) because the
+        carry is the small grad pytree, not tower activations — the
+        opposite trade from TRAIN.MICROBATCH's unroll (base_trainer
+        _make_train_step), where the chunks live inside one backward.
+
+        ``precompute_fn(frozen, images_u8) -> batch_ctx``: the shared
+        params-INDEPENDENT per-batch work (e.g. the frozen vision tower),
+        a pytree with leading batch dims.  It takes no ``params`` by
+        construction — a params-dependent precompute would make per-chunk
+        accumulation inexact (its cross-chunk grads would be dropped).
+        ``chunk_logits_fn(params, frozen, ctx_chunk) -> (chunk, n_cls)``.
+        Chunking requires divisibility; ``chunk_size`` is decremented
+        until it divides B (B < chunk_size runs as one chunk)."""
+        from rpo_tpu.engine.optim import sgd_update
+
+        def train_step(params, opt_state, frozen, images_u8, labels, mask, lr):
+            batch_ctx = precompute_fn(frozen, images_u8)
+            B = jax.tree_util.tree_leaves(batch_ctx)[0].shape[0]
+            c = max(1, min(int(chunk_size), B))
+            while B % c:
+                c -= 1
+            nc = B // c
+
+            def split(t):
+                return t.reshape((nc, c) + t.shape[1:])
+
+            ctx_cs = jax.tree_util.tree_map(split, batch_ctx)
+            lab_cs = split(labels)
+            mask_cs = split(mask)
+
+            def chunk_loss(p, ctx_c, lab_c, m_c):
+                logits = chunk_logits_fn(p, frozen, ctx_c)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, lab_c[:, None], axis=-1)[:, 0]
+                correct = jnp.sum((jnp.argmax(logits, -1) == lab_c) * m_c)
+                return jnp.sum(nll * m_c), correct
+
+            gfun = jax.value_and_grad(chunk_loss, has_aux=True)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def body(carry, xs):
+                acc_g, nll_sum, cor_sum = carry
+                (nll, cor), g = gfun(params, *xs)
+                acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+                return (acc_g, nll_sum + nll, cor_sum + cor), None
+
+            init = (zero, jnp.float32(0.0), jnp.float32(0.0))
+            (grads, nll_sum, cor_sum), _ = jax.lax.scan(
+                body, init, (ctx_cs, lab_cs, mask_cs)
+            )
+            denom = jnp.sum(mask)
+            grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+            params, opt_state = sgd_update(
+                params, grads, opt_state, lr,
+                momentum=self._momentum, weight_decay=self._weight_decay,
+                nesterov=self._nesterov, dampening=self._dampening,
+            )
+            return params, opt_state, nll_sum / denom, cor_sum / denom
+
+        return train_step
+
     def _install_steps(self, train_step, text_features, eval_step) -> None:
         from rpo_tpu.ops.attention import pallas_attention_scope
 
