@@ -78,11 +78,15 @@ def resize_bicubic(
     wv = jnp.asarray(resize_weights(H, out_h))
     wh = jnp.asarray(resize_weights(W, out_w))
     x = images.astype(jnp.float32)
-    # PIL order: horizontal pass first, then vertical
-    x = jnp.einsum("pw,bhwc->bhpc", wh, x)
+    # PIL order: horizontal pass first, then vertical.  Full-f32 MXU
+    # passes: TPU matmuls default to bf16 inputs, which would stack extra
+    # rounding on top of the documented 1-2 u8 LSB PIL contract; the
+    # resize is <1% of any consumer's FLOPs, so HIGHEST costs nothing.
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("pw,bhwc->bhpc", wh, x, precision=hi)
     if quantize:
         x = jnp.clip(jnp.round(x), 0, 255)
-    x = jnp.einsum("oh,bhpc->bopc", wv, x)
+    x = jnp.einsum("oh,bhpc->bopc", wv, x, precision=hi)
     if quantize:
         x = jnp.clip(jnp.round(x), 0, 255)
     return x
@@ -170,10 +174,12 @@ def device_train_preprocess(
         wv = _traced_resize_weights(S, size, top, ch)
         x = img.astype(jnp.float32)
         # PIL order: horizontal pass then vertical, quantizing between
-        # passes like the host path (clips cubic overshoot)
-        x = jnp.einsum("pw,hwc->hpc", wh, x)
+        # passes like the host path (clips cubic overshoot); full-f32
+        # passes — see resize_bicubic on why precision is pinned
+        hi = jax.lax.Precision.HIGHEST
+        x = jnp.einsum("pw,hwc->hpc", wh, x, precision=hi)
         x = jnp.clip(jnp.round(x), 0, 255)
-        x = jnp.einsum("oh,hpc->opc", wv, x)
+        x = jnp.einsum("oh,hpc->opc", wv, x, precision=hi)
         x = jnp.clip(jnp.round(x), 0, 255)
         x = jnp.where(flip > 0, x[:, ::-1, :], x)
         return (x - mean_a) / std_a

@@ -20,6 +20,11 @@ Production shapes covered (see bench.py and the trainers):
   - pallas_rect_attention_paired backward (custom VJP)
   - rect_residual_block pallas-vs-xla (whole layer, eval path)
   - pallas inside shard_map (1-device mesh — the production dp eval path)
+  - device_eval_preprocess  (4,64,64)->224 + (4,48,48)->32 vs host PIL
+  - device_train_preprocess (4,64,64)->224 + (4,16,16)->32 vs host PIL
+    (the INPUT.DEVICE_RESIZE production path, r5: silicon-only paths need
+    silicon-side numerics gates — checked to the documented 1-2 u8 LSB
+    resize contract, a per-check tolerance)
 
 Reference parity surface: /root/reference/trainers/rpo.py:140-168 builds
 the (bsz*heads, L, S) masks these kernels replace.
@@ -32,8 +37,10 @@ import traceback
 
 
 def _checks(jax, jnp, np, frozen=None, task=None):
-    """Yield (name, thunk) pairs; each thunk returns a max-abs-err float
-    and asserts nothing — the runner owns tolerance + isolation.
+    """Yield (name, thunk) or (name, thunk, tol) tuples; each thunk
+    returns a max-abs-err float and asserts nothing — the runner owns
+    tolerance (the run-level default unless the check carries its own)
+    and isolation.
 
     ``frozen``/``task`` may be passed by a caller that already holds the
     full-size CLIP objects (bench.py's gate) to avoid building a second
@@ -205,6 +212,90 @@ def _checks(jax, jnp, np, frozen=None, task=None):
 
     yield ("pallas-in-shard_map (1-device mesh)", shard_map_err)
 
+    # device preprocess kernels (the INPUT.DEVICE_RESIZE production path,
+    # ops/preprocess.py) vs the host PIL reference, to the documented
+    # 1-2 u8 LSB resize contract (tests/test_device_preprocess.py) — in
+    # normalized units that is 2.01 / (min(std) * 255).
+    MEAN = [0.48145466, 0.4578275, 0.40821073]
+    STD = [0.26862954, 0.26130258, 0.27577711]
+    u8_tol = 2.01 / (min(STD) * 255.0)
+    mean_h = np.asarray(MEAN, np.float32) * 255.0
+    std_h = np.asarray(STD, np.float32) * 255.0
+
+    def eval_prep_err():
+        from PIL import Image
+
+        from rpo_tpu.data.transforms import center_crop, resize_shorter
+        from rpo_tpu.ops.preprocess import device_eval_preprocess
+
+        errs = []
+        for S, OUT in ((64, 224), (48, 32)):
+            src = r.randint(0, 256, size=(4, S, S, 3)).astype(np.uint8)
+            out = np.asarray(
+                jax.jit(lambda x: device_eval_preprocess(x, OUT, MEAN, STD))(
+                    jnp.asarray(src)
+                ),
+                np.float32,
+            )
+            for i in range(src.shape[0]):
+                ref_u8 = np.asarray(
+                    center_crop(
+                        resize_shorter(Image.fromarray(src[i]), OUT, "bicubic"),
+                        OUT,
+                    ),
+                    np.float32,
+                )
+                errs.append(np.abs(out[i] - (ref_u8 - mean_h) / std_h).max())
+        return float(max(errs))
+
+    yield ("device-eval-preprocess 64->224 + 48->32 vs PIL", eval_prep_err, u8_tol)
+
+    def train_prep_err():
+        import random as _random
+
+        from PIL import Image
+
+        from rpo_tpu.data.transforms import sample_rrc_box
+        from rpo_tpu.ops.preprocess import device_train_preprocess
+
+        rr = _random.Random(11)
+        errs = []
+        for S, OUT in ((64, 224), (16, 32)):
+            B = 4
+            src = r.randint(0, 256, size=(B, S, S, 3)).astype(np.uint8)
+            boxes = [(0, 0, S, S)] + [
+                sample_rrc_box(S, S, rng=rr) for _ in range(B - 1)
+            ]
+            flips = [i % 2 for i in range(B)]
+            out = np.asarray(
+                jax.jit(
+                    lambda x, b, f: device_train_preprocess(
+                        x, b, f, OUT, MEAN, STD
+                    )
+                )(
+                    jnp.asarray(src),
+                    jnp.asarray(boxes, jnp.int32),
+                    jnp.asarray(flips, jnp.int32),
+                ),
+                np.float32,
+            )
+            for i, ((left, top, cw, ch), flip) in enumerate(zip(boxes, flips)):
+                ref = Image.fromarray(src[i]).resize(
+                    (OUT, OUT), Image.BICUBIC,
+                    box=(left, top, left + cw, top + ch),
+                )
+                ref = np.asarray(ref, np.float32)
+                if flip:
+                    ref = ref[:, ::-1]
+                errs.append(np.abs(out[i] - (ref - mean_h) / std_h).max())
+        return float(max(errs))
+
+    yield (
+        "device-train-preprocess 64->224 + 16->32 vs PIL",
+        train_prep_err,
+        u8_tol,
+    )
+
 
 def run_selftest(
     tol: float = 2e-2,
@@ -228,15 +319,19 @@ def run_selftest(
     results: dict = {}
     n_pass = 0
     t0 = time.perf_counter()
-    for name, thunk in _checks(jax, jnp, np, frozen=frozen, task=task):
+    for check in _checks(jax, jnp, np, frozen=frozen, task=task):
+        name, thunk = check[0], check[1]
+        check_tol = check[2] if len(check) > 2 else tol
         status = None
         for attempt in range(retries + 1):
             try:
                 err = thunk()
-                if err < tol:
+                if err < check_tol:
                     status = f"ok (err={err:.2e})"
                 else:
-                    status = f"FAILED: mismatch err={err:.3e} >= tol={tol}"
+                    status = (
+                        f"FAILED: mismatch err={err:.3e} >= tol={check_tol:.3g}"
+                    )
                 break
             except Exception as e:  # noqa: BLE001 — isolation is the point
                 status = f"FAILED: {type(e).__name__}: {e}"
