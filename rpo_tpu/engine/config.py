@@ -279,11 +279,15 @@ def get_cfg_default() -> CfgNode:
                 # the B=32 shape XLA lays out well (1919 img/s measured,
                 # BASELINE.md r4 batch table).  0 = off (default).  Applies
                 # when 0 < MICROBATCH < batch and batch % MICROBATCH == 0.
-                # Wired for the RPO trainer (the measured case); other
-                # methods ignore it.  Single-device-regime knob: ignored
-                # (loudly) when the batch is sharded over a data-parallel
-                # mesh — per-device batches are already small there, and
-                # global-row chunks would fight the sharding.
+                # Wired for every standard-CE-step trainer sharing the
+                # scanned frozen vision tower the cliff lives in: RPO
+                # (1500 -> 1927 at B=128), CoOp (2920 -> 3639), LP
+                # (BASELINE.md r4/r5 batch tables); CoCoOp large batches
+                # use exact gradient accumulation instead (automatic).
+                # Composes with a pure data-parallel mesh (the chunked
+                # step runs per-device under shard_map, grads psum'd);
+                # ignored (loudly) under dp x tp, where the tp program
+                # shards the tower math itself.
                 "MICROBATCH": 0,
             },
             "TEST": {

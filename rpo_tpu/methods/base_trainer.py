@@ -327,6 +327,54 @@ class CLIPMethodTrainer(TrainerBase):
 
         return train_step
 
+    def _build_microbatched_train_step(self, logits_fn, precompute=None):
+        """Resolve ``cfg.TRAIN.MICROBATCH`` against the device topology and
+        build the train step (``_make_train_step``), installing the
+        per-device-local shard_map variant (``self._local_train_step``)
+        when chunking must compose with a pure data-parallel mesh.
+
+        One copy of the topology policy, shared by every trainer whose
+        step is the standard CE algebra over a ``logits_fn`` (RPO, CoOp,
+        LP — the large-batch layout cliff is a property of the scanned
+        frozen vision tower they all run, not of any one method:
+        BASELINE.md r4/r5 batch tables).  Policy:
+
+        - single device: chunk when ``0 < mb < B`` divides evenly;
+        - pure dp mesh: build the step with ``axis_name="data"`` and let
+          ``_install_steps`` wrap it in shard_map — chunk slices are
+          per-device rows, legal where the GSPMD-sharded step cannot
+          slice the global batch dim (VERDICT r4 weak #3);
+        - dp x tp: chunking stays (loudly) off — the tensor-parallel
+          program shards the tower math itself, and a shard_map wrapper
+          would need the tp axis plumbed through every sharding
+          constraint.
+        """
+        mb = int(self.cfg.TRAIN.MICROBATCH)
+        if mb > 0 and jax.device_count() > 1:
+            from rpo_tpu.parallel.tp import resolve_tp
+
+            if resolve_tp(self.cfg):
+                print(
+                    f"TRAIN.MICROBATCH={mb} ignored under "
+                    "TRAIN.TENSOR_PARALLEL: chunking is built for the pure "
+                    "data-parallel mesh (shard_map per-device rows); the "
+                    "tp program shards the tower math itself"
+                )
+                mb = 0
+            else:
+                print(
+                    f"TRAIN.MICROBATCH={mb}: per-device chunking via "
+                    f"shard_map over the {jax.device_count()}-device data "
+                    "mesh"
+                )
+                self._local_train_step = self._make_train_step(
+                    logits_fn, microbatch=mb, precompute=precompute,
+                    axis_name="data",
+                )
+        return self._make_train_step(
+            logits_fn, microbatch=mb, precompute=precompute
+        )
+
     def _install_steps(self, train_step, text_features, eval_step) -> None:
         from rpo_tpu.ops.attention import pallas_attention_scope
 

@@ -260,10 +260,18 @@ class CoOp(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params}
 
-        train_step = self._make_train_step(
-            lambda p, frozen, images_u8: coop_logits(
-                p, frozen["clip"], task, normalize(images_u8)
-            )
+        # TRAIN.MICROBATCH: the same large-batch layout cliff RPO hits
+        # lives in the scanned frozen vision tower CoOp also runs (B=128
+        # monolithic 2920 vs 3639 img/s chunked at mb=32 on v5e,
+        # BASELINE.md r5).  The text tower is batch-independent shared
+        # per-step work — precomputed once, gradient flows through it.
+        train_step = self._build_microbatched_train_step(
+            lambda p, frozen, images_u8, text_f: coop_logits(
+                p, frozen["clip"], task, normalize(images_u8), text_f=text_f
+            ),
+            precompute=lambda p, frozen: coop_text_features(
+                p, frozen["clip"], task
+            ),
         )
 
         def text_features(params, frozen):

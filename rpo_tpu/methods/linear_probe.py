@@ -67,7 +67,10 @@ class LP(CLIPMethodTrainer):
         normalize = self._normalize
         self._frozen = {"clip": self.clip_params, "text_f": text_f}
 
-        train_step = self._make_train_step(
+        # TRAIN.MICROBATCH: chunk the (grad-free) vision tower at large
+        # batch — the layout cliff is a property of the scanned tower all
+        # CE-step methods share (BASELINE.md r5 CoOp/LP batch table).
+        train_step = self._build_microbatched_train_step(
             lambda p, frozen, images_u8: lp_logits(
                 p, frozen["clip"], ccfg, frozen["text_f"], normalize(images_u8)
             )

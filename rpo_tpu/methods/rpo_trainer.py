@@ -51,8 +51,8 @@ class RPO(CLIPMethodTrainer):
         # (large-batch layout fix, base_trainer._make_train_step); the text
         # tower is the shared per-step work, precomputed ONCE and threaded
         # through as ctx.  Gradient flows through it either way — it is
-        # produced inside loss_fn from the live params.
-        mb = int(cfg.TRAIN.MICROBATCH)
+        # produced inside loss_fn from the live params.  Topology policy
+        # (dp shard_map / tp off) lives in _build_microbatched_train_step.
         logits_fn = lambda p, frozen, images_u8, text_f: core.rpo_logits(
             p, frozen, task, normalize(images_u8),
             text_f=text_f, split_vision=True,
@@ -60,40 +60,8 @@ class RPO(CLIPMethodTrainer):
         precompute = lambda p, frozen: core.encode_text_with_prompts(
             p, frozen, task
         )
-        if mb > 0 and jax.device_count() > 1:
-            from rpo_tpu.parallel.tp import resolve_tp
-
-            if resolve_tp(cfg):
-                # Under dp x tp the step body is a GSPMD tensor-parallel
-                # program (sharding constraints on the tower math); a
-                # shard_map wrapper around it would need the tp axis
-                # plumbed through every constraint.  Not built — the tp
-                # path targets model-scale, not batch-scale.
-                print(
-                    f"TRAIN.MICROBATCH={mb} ignored under "
-                    "TRAIN.TENSOR_PARALLEL: chunking is built for the pure "
-                    "data-parallel mesh (shard_map per-device rows); the "
-                    "tp program shards the tower math itself"
-                )
-                mb = 0
-            else:
-                # Pure data parallelism: run the step per-device-local
-                # under shard_map (grads/metrics psum'd inside,
-                # base_trainer axis_name path) so the chunk slices are
-                # device-local rows — legal where the GSPMD-sharded step
-                # cannot slice the global batch dim (VERDICT r4 weak #3).
-                # Chunking engages when mb < B/n_devices evenly.
-                print(
-                    f"TRAIN.MICROBATCH={mb}: per-device chunking via "
-                    f"shard_map over the {jax.device_count()}-device data "
-                    "mesh"
-                )
-                self._local_train_step = self._make_train_step(
-                    logits_fn, microbatch=mb, precompute=precompute,
-                    axis_name="data",
-                )
-        train_step = self._make_train_step(
-            logits_fn, microbatch=mb, precompute=precompute,
+        train_step = self._build_microbatched_train_step(
+            logits_fn, precompute=precompute
         )
 
         def text_features(params, frozen):

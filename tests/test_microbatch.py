@@ -221,3 +221,120 @@ def test_cli_trajectory_matches(tmp_path):
     a0 = re.search(r"\* accuracy: ([\.\d]+)%", s0).group(1)
     a4 = re.search(r"\* accuracy: ([\.\d]+)%", s4).group(1)
     assert a0 == a4
+
+
+def test_coop_microbatch_matches_monolithic():
+    """r5: TRAIN.MICROBATCH is wired for CoOp too (B=128 monolithic 2920
+    vs 3639 img/s chunked at mb=32 on v5e — same tower-scan layout cliff
+    as RPO).  Chunked step == monolithic step, including the hoisted
+    text-feature precompute (gradient flows through it either way)."""
+    from rpo_tpu.methods import coop
+
+    cfg = ARCHS["TINY"]
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    classnames = [f"thing {i}" for i in range(6)]
+    ctx_params, prefix, n_ctx = coop.init_ctx(
+        jax.random.PRNGKey(1), params, cfg, 6, 2, False, ""
+    )
+    task = coop.make_task(cfg, classnames, n_ctx, False, "end", prefix)
+    frozen = {"clip": params}
+
+    logits_fn = lambda p, fz, images, text_f: coop.coop_logits(
+        p, fz["clip"], task, images, text_f=text_f
+    )
+    precompute = lambda p, fz: coop.coop_text_features(p, fz["clip"], task)
+
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 6, size=8), jnp.int32)
+    mask = jnp.asarray([1.0] * 7 + [0.0], jnp.float32)
+    lr = jnp.float32(0.05)
+
+    steps = {
+        mb: jax.jit(CLIPMethodTrainer._make_train_step(
+            _Host(), logits_fn, microbatch=mb, precompute=precompute
+        ))
+        for mb in (0, 4)
+    }
+    p0 = ctx_params
+    p1, o1, l1, a1 = steps[0](dict(p0), sgd_init(ctx_params), frozen, imgs,
+                              labels, mask, lr)
+    p2, o2, l2, a2 = steps[4](dict(p0), sgd_init(ctx_params), frozen, imgs,
+                              labels, mask, lr)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    assert float(a1) == pytest.approx(float(a2))
+    np.testing.assert_allclose(
+        np.asarray(p1["ctx"]), np.asarray(p2["ctx"]), atol=1e-5, rtol=0
+    )
+
+
+def test_lp_microbatch_matches_monolithic():
+    """r5: TRAIN.MICROBATCH wired for LP (chunks the grad-free vision
+    tower; frozen text features, no precompute)."""
+    from rpo_tpu.methods.linear_probe import lp_logits
+    from rpo_tpu.models.clip import encode_text
+    from rpo_tpu.tokenizer import eot_trim, tokenize
+
+    cfg = ARCHS["TINY"]
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(eot_trim(tokenize([f"a photo of thing {i}." for i in range(6)])))
+    tf = encode_text(params, cfg, tokens).astype(jnp.float32)
+    text_f = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+    d = cfg.embed_dim
+    lp_params = {"w": jnp.eye(d, dtype=jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+    frozen = {"clip": params, "text_f": text_f}
+
+    logits_fn = lambda p, fz, images: lp_logits(
+        p, fz["clip"], cfg, fz["text_f"], images
+    )
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 6, size=8), jnp.int32)
+    mask = jnp.asarray([1.0] * 6 + [0.0] * 2, jnp.float32)
+    lr = jnp.float32(0.01)
+
+    steps = {
+        mb: jax.jit(CLIPMethodTrainer._make_train_step(
+            _Host(), logits_fn, microbatch=mb
+        ))
+        for mb in (0, 2)
+    }
+    p0 = lp_params
+    p1, o1, l1, a1 = steps[0](dict(p0), sgd_init(lp_params), frozen, imgs,
+                              labels, mask, lr)
+    p2, o2, l2, a2 = steps[2](dict(p0), sgd_init(lp_params), frozen, imgs,
+                              labels, mask, lr)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    assert float(a1) == pytest.approx(float(a2))
+    for key in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[key]), np.asarray(p2[key]), atol=1e-5, rtol=0,
+            err_msg=f"param mismatch for {key} on the LP microbatch path",
+        )
+
+
+def test_coop_cli_microbatch_engages(tmp_path):
+    """CLI wiring: a CoOp run with TRAIN.MICROBATCH chunking engaged must
+    match the monolithic loss trajectory (production path through
+    _build_microbatched_train_step)."""
+    args = [
+        "--seed", "1",
+        "--trainer", "CoOp",
+        "--dataset-config-file", "configs/datasets/synthetic.yaml",
+        "--config-file", "configs/trainers/CoOp/vit_b16_ep50.yaml",
+        "DATASET.NUM_SHOTS", "4",
+        "OPTIM.MAX_EPOCH", "1",
+        "MODEL.BACKBONE.NAME", "TINY",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+        "TRAINER.COOP.PREC", "fp32",
+        "TRAIN.PRINT_FREQ", "1",
+    ]
+    out_mb = run_cli(["--output-dir", str(tmp_path / "coop_mb")] + args
+                     + ["TRAIN.MICROBATCH", "4"])
+    assert "Finish training" in out_mb
+    out_mono = run_cli(["--output-dir", str(tmp_path / "coop_mono")] + args
+                       + ["TRAIN.MICROBATCH", "0"])
+    l_mb, l_mono = _losses(out_mb), _losses(out_mono)
+    assert len(l_mb) == len(l_mono) > 0
+    np.testing.assert_allclose(l_mb, l_mono, rtol=1e-4, atol=1e-5)
