@@ -789,6 +789,33 @@ def bench_coop() -> dict:
         ctx_params, sgd_init(ctx_params), frozen, imgs, labels, jnp.float32(0.002),
     )
 
+    # Large-batch point (r5): B=128 with TRAIN.MICROBATCH=32 chunking —
+    # the trainer's policy for large batches (the RPO layout cliff lives
+    # in the shared frozen vision tower: monolithic B=128 runs 2920
+    # img/s vs 3639 chunked on v5e).  Mirrors
+    # CLIPMethodTrainer._make_train_step(microbatch=32, precompute=text).
+    B128, mb = 128, 32
+
+    def chunked_logits(p, fz, im):
+        text_f = coop.coop_text_features(p, fz["clip"], task)
+        parts = []
+        for i in range(B128 // mb):
+            parts.append(
+                coop.coop_logits(
+                    p, fz["clip"], task,
+                    normalize(im[i * mb:(i + 1) * mb]), text_f=text_f,
+                )
+            )
+        return jnp.concatenate(parts, axis=0)
+
+    imgs128 = jnp.asarray(rng.randint(0, 256, size=(B128, 224, 224, 3)), jnp.uint8)
+    labels128 = jnp.asarray(rng.randint(0, N_CLS, size=B128), jnp.int32)
+    sps128, compile128_s = _bench_train(
+        jax.jit(_ce_train_step_factory(chunked_logits), donate_argnums=(0, 1)),
+        ctx_params, sgd_init(ctx_params), frozen, imgs128, labels128,
+        jnp.float32(0.002),
+    )
+
     eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)
     text_f = jax.jit(lambda p, fz: coop.coop_text_features(p, fz["clip"], task))(
         ctx_params, frozen
@@ -808,6 +835,8 @@ def bench_coop() -> dict:
             "n_cls": N_CLS,
             "eval_images_per_sec": round(evals_per_sec * EVAL_BATCH, 2),
             "train_compile_seconds": round(compile_s, 1),
+            "b128_mb32_images_per_sec": round(sps128 * B128, 2),
+            "b128_compile_seconds": round(compile128_s, 1),
         },
     }
 
