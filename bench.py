@@ -407,7 +407,16 @@ def main() -> None:
                 print(f"method bench {name}: skipped (budget)", file=sys.stderr)
                 continue
             if watchdog:
-                methods_extras[name] = _run_method_watchdogged(name, remaining)
+                # Per-method cap on top of the remaining-budget cap: a
+                # single wedged compile service (observed r5: recurring
+                # multi-minute stalls) must not eat the whole methods
+                # window — later methods still get their launch slot.
+                cap_s = float(
+                    os.environ.get("RPO_TPU_BENCH_METHOD_CAP_S", "480")
+                )
+                methods_extras[name] = _run_method_watchdogged(
+                    name, min(cap_s, remaining)
+                )
             else:
                 try:
                     r = fn()
@@ -508,7 +517,9 @@ def main() -> None:
                     continue
                 for line in plane.lines:
                     for ev in line.events:
-                        if ev.name == match:
+                        # the root event carries a fingerprint suffix on
+                        # this backend: 'jit_train_step(14857132…)'
+                        if ev.name == match or ev.name.startswith(match + "("):
                             tot += ev.duration_ns
                             cnt += 1
             if not cnt:
@@ -985,6 +996,29 @@ def bench_lp() -> dict:
         )
         per_batch[B] = steps_per_sec * B
 
+    # Large-batch point (r5): B=128 + mb=32 chunking, the trainer's
+    # TRAIN.MICROBATCH policy (monolithic B=128 drops to 3097 img/s on
+    # v5e — the RPO/CoOp layout cliff in the shared vision tower; chunked
+    # 3898).  Mirrors _make_train_step(microbatch=32).
+    B128, mb = 128, 32
+
+    def chunked_logits(p, fz, im):
+        parts = []
+        for i in range(B128 // mb):
+            parts.append(
+                lp_logits(p, fz["clip"], cfg, fz["text_f"],
+                          normalize(im[i * mb:(i + 1) * mb]))
+            )
+        return jnp.concatenate(parts, axis=0)
+
+    imgs128 = jnp.asarray(rng.randint(0, 256, size=(B128, 224, 224, 3)), jnp.uint8)
+    labels128 = jnp.asarray(rng.randint(0, N_CLS, size=B128), jnp.int32)
+    sps128, _ = _bench_train(
+        jax.jit(_ce_train_step_factory(chunked_logits), donate_argnums=(0, 1)),
+        lp_params, sgd_init(lp_params), frozen, imgs128, labels128, lr,
+    )
+    b128_mb32 = sps128 * B128
+
     def eval_step(p, fz, imgs):
         with pallas_attention_scope(True):
             return lp_logits(p, fz["clip"], cfg, fz["text_f"], normalize(imgs))
@@ -1001,6 +1035,7 @@ def bench_lp() -> dict:
         "extras": {
             "train_images_per_sec_b1_protocol": round(per_batch[1], 2),
             "train_images_per_sec_b32": round(per_batch[32], 2),
+            "b128_mb32_images_per_sec": round(b128_mb32, 2),
             "n_cls": N_CLS,
             "eval_images_per_sec": round(evals_per_sec * EVAL_BATCH, 2),
         },
