@@ -923,9 +923,14 @@ def bench_cocoop(batches=(1, 4, 8, 32, 64)) -> dict:
             imf = encode_image(fz["clip"], task.cfg, normalize(imgs)).astype(
                 jnp.float32
             )
-        with pallas_attention_scope(False):
+        # r5: per-image text towers take the fused whole-layer kernel
+        # (mirrors the trainer's eval scope split; 1016 -> 1391 img/s on
+        # v5e at chunk 10 — BASELINE.md r5)
+        from rpo_tpu.ops.fused_text_layer import fused_text_scope
+
+        with pallas_attention_scope(False), fused_text_scope(True):
             return cocoop.cocoop_logits(
-                p, fz["clip"], task, None, chunk=4, image_features=imf
+                p, fz["clip"], task, None, chunk=10, image_features=imf
             )
 
     eimgs = jnp.asarray(rng.randint(0, 256, size=(EVAL_BATCH, 224, 224, 3)), jnp.uint8)

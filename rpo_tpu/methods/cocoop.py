@@ -101,8 +101,43 @@ def cocoop_logits(
     if remat_per_image:
         per_image = jax.checkpoint(per_image)
 
+    from rpo_tpu.ops.fused_text_layer import use_fused_text
+
+    if use_fused_text() and not remat_per_image:
+        # Fused-kernel eval path: FLATTEN the (images, n_cls) towers into
+        # one (c * n_cls, L, d) batch so the whole-layer Pallas kernel
+        # (ops/fused_text_layer.py) sees a single row dimension — vmap
+        # over images would push the batch through the pallas_call
+        # batching rule with per-image row padding instead.  Identical
+        # math to per_image: text_encoder is batch-agnostic over its
+        # leading dim.  Forward-only (the scope is only enabled on eval
+        # paths; the train paths never trace it).
+        n_cls = tokens.shape[0]
+
+        def per_image_batch(ctx_cc, imf_cc):  # (c, n_ctx, d_t), (c, d_e)
+            prompts = jax.vmap(
+                lambda ci: coop_core.assemble_prompt_embeddings(
+                    ci, frozen_emb, task
+                )
+            )(ctx_cc)
+            c = prompts.shape[0]
+            flat = prompts.reshape((c * n_cls,) + prompts.shape[2:])
+            toks = jnp.broadcast_to(
+                tokens[None], (c,) + tokens.shape
+            ).reshape(-1, tokens.shape[1])
+            tf = coop_core.text_encoder(clip_params, cfg, flat, toks)
+            tf = tf.astype(jnp.float32)
+            tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+            return scale * jnp.einsum(
+                "cnd,cd->cn", tf.reshape(c, n_cls, -1), imf_cc
+            )
+    else:
+        per_image_batch = None
+
     B = imf.shape[0]
     if chunk <= 0 or chunk >= B:
+        if per_image_batch is not None:
+            return per_image_batch(ctx_shifted, imf)
         return jax.vmap(per_image)(ctx_shifted, imf)
     assert B % chunk == 0, f"batch {B} not divisible by chunk {chunk}"
     if unroll_chunks:
@@ -115,9 +150,12 @@ def cocoop_logits(
         return jnp.concatenate(parts, axis=0)
     ctx_c = ctx_shifted.reshape(B // chunk, chunk, *ctx_shifted.shape[1:])
     imf_c = imf.reshape(B // chunk, chunk, imf.shape[-1])
-    out = jax.lax.map(
-        lambda args: jax.vmap(per_image)(args[0], args[1]), (ctx_c, imf_c)
+    chunk_fn = (
+        per_image_batch
+        if per_image_batch is not None
+        else lambda a, b: jax.vmap(per_image)(a, b)
     )
+    out = jax.lax.map(lambda args: chunk_fn(args[0], args[1]), (ctx_c, imf_c))
     return out.reshape(B, -1)
 
 
@@ -199,13 +237,26 @@ class CoCoOp(CLIPMethodTrainer):
             from rpo_tpu.ops.attention import pallas_attention_scope
 
             B = images_u8.shape[0]
-            chunk = max(1, min(8, B))
+            # chunk target 10 (was 8 pre-fused-kernel): the fused text
+            # tower amortizes its per-chunk launch over more rows —
+            # measured 1271/1362/1391 img/s at chunk 4/5/10 on v5e
+            # (B=100); the XLA fallback path is flat across 4-20
+            # (BASELINE.md r3 sweep), so the larger target costs nothing
+            # when the kernel is disabled.
+            chunk = max(1, min(10, B))
             while B % chunk:
                 chunk -= 1
             imf = encode_image(
                 frozen["clip"], task.cfg, normalize(images_u8)
             ).astype(jnp.float32)
-            with pallas_attention_scope(False):
+            # r5: the per-image text towers take the fused WHOLE-LAYER
+            # Pallas kernel instead (LN1->QKV->attn->out->LN2->MLP in one
+            # program per row-block, ops/fused_text_layer.py): the XLA
+            # text path is per-op-latency bound at L~16, and the fused
+            # tower measures 1.45x it at the (chunk*n_cls, L, d) shape.
+            from rpo_tpu.ops.fused_text_layer import fused_text_scope
+
+            with pallas_attention_scope(False), fused_text_scope(True):
                 return cocoop_logits(
                     params, frozen["clip"], task, None,
                     chunk=chunk, image_features=imf,

@@ -145,6 +145,28 @@ def transformer(
     where every (dataset, seed, subsample) task is a fresh process.  Off
     by default; flip for long single-task runs.
     """
+    from rpo_tpu.ops.fused_text_layer import use_fused_text
+
+    if (
+        not remat
+        and bias is not None
+        and x.ndim == 3
+        and x.dtype == jnp.bfloat16
+        and bias.ndim == 4
+        and bias.shape[:2] == (1, 1)
+        and bias.shape[2] == bias.shape[3] == x.shape[1]
+        and x.shape[2] % n_heads == 0
+        and use_fused_text()
+    ):
+        # Fused whole-layer Pallas tower (forward-only; the scope is only
+        # enabled on eval paths).  Built for tiny-L towers where the XLA
+        # lowering is per-op-latency bound — the CoCoOp per-image text
+        # encode (ops/fused_text_layer.py; 1.45x the 12-layer tower at
+        # (408, 16, 512) on v5e).
+        from rpo_tpu.ops.fused_text_layer import fused_text_tower
+
+        return fused_text_tower(x, stacked_blocks, n_heads, bias[0, 0])
+
     body = residual_block
     if remat:
         body = jax.checkpoint(body, static_argnums=(2,))

@@ -19,6 +19,8 @@ Production shapes covered (see bench.py and the trainers):
   - pallas_rect_attention_paired    (100, 6, 221, 197, 128) eval hot path
   - pallas_rect_attention_paired backward (custom VJP)
   - rect_residual_block pallas-vs-xla (whole layer, eval path)
+  - fused text layer (408, 16, 512) — the r5 whole-layer kernel on the
+    CoCoOp eval per-image text towers (ops/fused_text_layer.py)
   - pallas inside shard_map (1-device mesh — the production dp eval path)
   - device_eval_preprocess  (4,64,64)->224 + (4,48,48)->32 vs host PIL
   - device_train_preprocess (4,64,64)->224 + (4,16,16)->32 vs host PIL
@@ -176,6 +178,34 @@ def _checks(jax, jnp, np, frozen=None, task=None):
         )
 
     yield ("rect residual block (whole layer)", tower_err)
+
+    # fused whole-layer text kernel (r5): the CoCoOp eval path runs the
+    # per-image text towers through ONE Pallas program per row-block
+    # (LN1 -> QKV -> attn -> out -> LN2 -> MLP, ops/fused_text_layer.py)
+    # at (chunk * n_cls, L~16, 512) — check at that production shape vs
+    # the XLA residual block
+    def fused_text_err():
+        from rpo_tpu.models.clip.layers import residual_block
+        from rpo_tpu.models.clip.model import causal_mask
+        from rpo_tpu.ops.fused_text_layer import fused_text_layer
+
+        L = 16
+        x = jnp.asarray(r.randn(408, L, cfg.text_width) * 0.1, jnp.bfloat16)
+        blk = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[0]), frozen["clip"]["text"]["blocks"]
+        )
+        mask = causal_mask(L)
+        ref = jax.jit(
+            lambda x, b: residual_block(x, b, cfg.text_heads, mask[None, None])
+        )(x, blk)
+        got = jax.jit(
+            lambda x, b: fused_text_layer(x, b, cfg.text_heads, mask)
+        )(x, blk)
+        return float(
+            np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32)).max()
+        )
+
+    yield ("fused text layer (408,16,512) whole-layer kernel", fused_text_err)
 
     def shard_map_err():
         from jax import shard_map
