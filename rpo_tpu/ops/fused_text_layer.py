@@ -166,7 +166,7 @@ def fused_text_layer(
     blk: dict,
     n_heads: int,
     mask: jax.Array,
-    block_rows: int = 32,
+    block_rows: int = 64,
     interpret: bool = None,
     eps: float = 1e-5,
 ) -> jax.Array:
@@ -229,7 +229,7 @@ def fused_text_tower(
     stacked_blocks: dict,
     n_heads: int,
     mask: jax.Array,
-    block_rows: int = 32,
+    block_rows: int = 64,
     interpret: bool = None,
 ) -> jax.Array:
     """The full text transformer (layers.transformer) with the fused
